@@ -1,0 +1,212 @@
+"""Controller facade: the per-tick pure step function and a stateful host
+wrapper mirroring the nav2_core::Controller lifecycle API.
+
+Reference parity target: SocialMPCController (social_mpc_controller.cpp).
+The 20 Hz computeVelocityCommands orchestration (:162-257) becomes a pure
+jitted function
+
+    step(scenario, carry) -> (cmd, aux, carry')
+
+with the warm-start memory (TrajectoryMemory singleton) as an explicit carry
+and the degradation ladder (SURVEY.md section 5.3) as per-scenario status
+codes. ``make_step_batch`` vmaps it over a leading scenario axis — the
+framework's workhorse entry point (thousands of independent solves per chip).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nav2_social_mpc_controller_tpu.core.config import SocialMPCConfig
+from nav2_social_mpc_controller_tpu.core.types import (
+    AGENT_T,
+    AgentsState,
+    ControlCommand,
+    ControllerCarry,
+    Scenario,
+    StepAux,
+    STATUS_FALLBACK_CMDS,
+    STATUS_FALLBACK_CRAWL,
+    STATUS_OK,
+)
+from nav2_social_mpc_controller_tpu.controller.optimize import ProblemDims, optimize
+from nav2_social_mpc_controller_tpu.controller.path_handler import transform_global_plan
+from nav2_social_mpc_controller_tpu.controller.trajectorizer import trajectorize
+from nav2_social_mpc_controller_tpu.utils.angles import shortest_angular_distance
+
+CRAWL_LINEAR_VEL = 0.1  # fallback cmd (social_mpc_controller.cpp:183)
+
+
+def fov_filter(cfg: SocialMPCConfig, people: AgentsState, robot_pose, costmap) -> AgentsState:
+    """Keep people inside the costmap and within the field-of-view cone
+    (social_mpc_controller.cpp:197-215); others become invalid (t = -1)."""
+    st = people.state
+    px, py = st[..., 0], st[..., 1]
+
+    h, w = costmap.data.shape[-2], costmap.data.shape[-1]
+    ox, oy = costmap.origin[0], costmap.origin[1]
+    res = costmap.resolution
+    # Costmap2D::worldToMap: false if wx < origin or cell >= size
+    in_map = (
+        (px >= ox)
+        & (py >= oy)
+        & (((px - ox) / res) < w)
+        & (((py - oy) / res) < h)
+    )
+
+    angle_to_person = jnp.arctan2(py - robot_pose[1], px - robot_pose[0])
+    rel = shortest_angular_distance(robot_pose[2], angle_to_person)
+    keep = people.valid & in_map & (jnp.abs(rel) < cfg.fov_angle)
+
+    new_state = jnp.where(keep[..., None], st, jnp.zeros_like(st).at[..., AGENT_T].set(-1.0))
+    return AgentsState(state=new_state)
+
+
+def make_carry(cfg: SocialMPCConfig, dtype=jnp.float32) -> ControllerCarry:
+    """Fresh warm-start memory sized for this config."""
+    dims = ProblemDims.from_config(cfg)
+    return ControllerCarry(
+        prev_path=jnp.zeros((dims.maxsize, 3), dtype),
+        prev_cmds=jnp.zeros((dims.maxsize, 2), dtype),
+        prev_n=jnp.zeros((), jnp.int32),
+    )
+
+
+def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
+    """One control tick (computeVelocityCommands, social_mpc_controller.cpp:162-257).
+
+    Returns (ControlCommand, StepAux, ControllerCarry)."""
+    robot_pose = scenario.robot.pose
+
+    # --- plan windowing (path_handler.cpp:40-108) ---
+    h, w = scenario.costmap.data.shape[-2:]
+    size_x = w * scenario.costmap.resolution
+    size_y = h * scenario.costmap.resolution
+    dist_threshold = jnp.maximum(size_x, size_y) / 2.0
+    windowed = transform_global_plan(
+        scenario.path, robot_pose, cfg.max_robot_pose_search_dist, dist_threshold
+    )
+
+    # --- reference trajectory (path_trajectorizer.cpp:120-288) ---
+    traj = trajectorize(cfg.trajectorizer, windowed.path, robot_pose)
+
+    # --- people FOV filter (social_mpc_controller.cpp:197-215) ---
+    people = fov_filter(cfg, scenario.people, robot_pose, scenario.costmap)
+
+    # --- optimize (optimizer.cpp:148-452) ---
+    res = optimize(
+        cfg,
+        traj.poses,
+        traj.cmds,
+        traj.n_steps,
+        scenario.robot.speed,
+        people,
+        scenario.costmap,
+        scenario.esdf,
+        carry,
+    )
+
+    # --- command selection / degradation ladder ---
+    opt_v = res.cmds[0, 0]
+    opt_w = res.cmds[0, 1]
+    init_v = traj.cmds[0, 0]
+    init_w = traj.cmds[0, 2]
+
+    use_opt = traj.ok & res.ok
+    use_init = traj.ok & ~res.ok
+
+    linear_x = jnp.where(use_opt, opt_v, jnp.where(use_init, init_v, CRAWL_LINEAR_VEL))
+    angular_z = jnp.where(use_opt, opt_w, jnp.where(use_init, init_w, 0.0))
+    # linear.y forced to zero in the published command (:252-255)
+    cmd = ControlCommand(
+        linear_x=linear_x, linear_y=jnp.zeros_like(linear_x), angular_z=angular_z
+    )
+
+    status = jnp.where(
+        use_opt, STATUS_OK, jnp.where(use_init, STATUS_FALLBACK_CMDS, STATUS_FALLBACK_CRAWL)
+    ).astype(jnp.int32)
+
+    # --- warm-start memory update (optimizer.cpp:174-186, 448-449) ---
+    dims = ProblemDims.from_config(cfg)
+    # First-tick seeding with the trajectorized path/cmds (truncated to the
+    # carry buffer) even if the solve then fails:
+    seed_n = jnp.minimum(traj.n_steps + 1, dims.maxsize)
+    seeded = ControllerCarry(
+        prev_path=traj.poses[: dims.maxsize],
+        prev_cmds=traj.cmds[: dims.maxsize][:, jnp.array([0, 2])],
+        prev_n=seed_n.astype(jnp.int32),
+    )
+    need_seed = (carry.prev_n == 0) & traj.ok
+    carry_base = jax.tree.map(
+        lambda s, c: jnp.where(need_seed, s, c), seeded, carry
+    )
+    optimized_carry = ControllerCarry(
+        prev_path=res.path, prev_cmds=res.cmds, prev_n=res.n.astype(jnp.int32)
+    )
+    new_carry = jax.tree.map(
+        lambda o, c: jnp.where(use_opt, o, c), optimized_carry, carry_base
+    )
+
+    aux = StepAux(
+        local_path=res.path,
+        ref_path=traj.poses,
+        cmds=res.cmds,
+        people_proj=res.people_proj,
+        status=status,
+        solve=res.stats,
+    )
+    return cmd, aux, new_carry
+
+
+def make_step(cfg: SocialMPCConfig):
+    """Jitted single-scenario step closure."""
+    return jax.jit(functools.partial(step, cfg))
+
+
+def make_step_batch(cfg: SocialMPCConfig):
+    """Jitted batched step: scenario/carry pytrees with a leading batch axis.
+
+    This is the TPU workhorse — the reference solves ONE problem per 50 ms
+    tick on CPU; here a whole scenario batch solves per dispatch
+    (SURVEY.md 'the single number that shapes everything')."""
+    return jax.jit(jax.vmap(functools.partial(step, cfg)))
+
+
+class SocialMPCController:
+    """Stateful host wrapper with nav2_core::Controller-shaped lifecycle API
+    (social_mpc_controller.hpp:70-113). Holds the global plan and the
+    warm-start carry; computeVelocityCommands drives the jitted step."""
+
+    def __init__(self, cfg: SocialMPCConfig):
+        self.cfg = cfg
+        self._step = make_step(cfg)
+        self._carry = make_carry(cfg)
+        self._plan = None
+        self._active = False
+
+    # Lifecycle (configure happens in __init__)
+    def activate(self):
+        self._active = True
+
+    def deactivate(self):
+        self._active = False
+
+    def cleanup(self):
+        self._plan = None
+        self._carry = make_carry(self.cfg)
+
+    def set_plan(self, path):
+        """setPlan (social_mpc_controller.cpp:260-263)."""
+        self._plan = path
+
+    def set_speed_limit(self, speed_limit: float, percentage: bool):
+        """setSpeedLimit — a deliberate no-op, faithfully reproducing the
+        reference's dead-store implementation (social_mpc_controller.cpp:265-285)."""
+
+    def compute_velocity_commands(self, scenario: Scenario) -> Tuple[ControlCommand, StepAux]:
+        if self._plan is not None:
+            scenario = scenario._replace(path=self._plan)
+        cmd, aux, self._carry = self._step(scenario, self._carry)
+        return cmd, aux

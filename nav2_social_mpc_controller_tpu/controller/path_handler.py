@@ -1,0 +1,76 @@
+"""Plan windowing and goal extraction.
+
+Reference parity target: mpc::PathHandler (tools/path_handler.{hpp,cpp}).
+The TF-tree machinery collapses in this framework — scenarios carry the plan
+already in the planning frame — leaving the geometric operations:
+
+  transform_global_plan <- PathHandler::transformGlobalPlan
+      (path_handler.cpp:40-108): locate the closest plan pose to the robot
+      among the poses within max_robot_pose_search_dist of INTEGRATED path
+      length from the start (first_after_integrated_distance + min_by), then
+      window forward until the euclidean distance from the robot exceeds
+      dist_threshold (half the costmap extent). The reference also erases the
+      passed poses from the stored plan; here the start index is returned so
+      a host driver can prune its copy.
+  get_goal_point <- PathHandler::getTransformedGoal (path_handler.cpp:115-137):
+      first windowed pose at euclidean distance >= goal_dist, else the last.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from nav2_social_mpc_controller_tpu.core.types import PathInput
+
+
+class WindowedPlan(NamedTuple):
+    path: PathInput  # same static size, re-based to the window
+    start_index: jnp.ndarray  # () int32 index into the input plan (prune point)
+
+
+def transform_global_plan(
+    path: PathInput,
+    robot_pose: jnp.ndarray,
+    max_robot_pose_search_dist: float,
+    dist_threshold: float,
+) -> WindowedPlan:
+    p = path.points.shape[0]
+    idx = jnp.arange(p)
+    valid = path.valid
+
+    seg = jnp.linalg.norm(path.points[1:] - path.points[:-1], axis=-1)
+    cum = jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
+    # first_after_integrated_distance: poses searched are [begin, upper_bound)
+    searchable = valid & (cum <= max_robot_pose_search_dist)
+
+    d_robot = jnp.linalg.norm(path.points - robot_pose[0:2], axis=-1)
+    begin = jnp.argmin(jnp.where(searchable, d_robot, jnp.inf))
+
+    # find_if from begin: first pose farther than dist_threshold ends the window
+    beyond = valid & (idx >= begin) & (d_robot > dist_threshold)
+    any_beyond = jnp.any(beyond)
+    end = jnp.where(beyond, idx, p)
+    end = jnp.where(any_beyond, jnp.min(end), jnp.minimum(path.n, p))
+
+    n_new = jnp.maximum(end - begin, 0).astype(jnp.int32)
+    src = jnp.clip(begin + idx, 0, p - 1)
+    # Pad tail with the last valid pose so downstream gathers stay safe.
+    last_src = jnp.clip(begin + n_new - 1, 0, p - 1)
+    src = jnp.where(idx < n_new, src, last_src)
+    new_points = path.points[src]
+    new_yaw = path.yaw[src]
+    return WindowedPlan(
+        path=PathInput(points=new_points, yaw=new_yaw, n=n_new),
+        start_index=begin.astype(jnp.int32),
+    )
+
+
+def get_goal_point(path: PathInput, robot_pose: jnp.ndarray, goal_dist: float):
+    """First plan pose at distance >= goal_dist from the robot, else the
+    last (path_handler.cpp:115-137). Returns (2,) point."""
+    p = path.points.shape[0]
+    idx = jnp.arange(p)
+    d = jnp.linalg.norm(path.points - robot_pose[0:2], axis=-1)
+    hit = path.valid & (d >= goal_dist)
+    first_hit = jnp.where(jnp.any(hit), jnp.min(jnp.where(hit, idx, p)), jnp.clip(path.n - 1, 0, p - 1))
+    return path.points[jnp.clip(first_hit, 0, p - 1)]

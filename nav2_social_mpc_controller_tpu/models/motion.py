@@ -1,0 +1,72 @@
+"""Motion models: block-constant control rollout and the trajectorizer's
+unicycle/omnidirectional integrators.
+
+Reference parity targets:
+  rollout_poses <- computeUpdatedStateRedux (update_state.hpp:38-63).
+      The reference re-integrates the unicycle model from pose_0 up to step i
+      inside EVERY residual evaluation — O(H^2) integrations per Jacobian
+      pass across ~8 critics. Here the rollout is ONE lax.scan producing all
+      H poses, shared by every critic; Jacobians flow through the single
+      scan (jacfwd: B*2 tangents through O(H) work).
+  integrate_step / omni terms <- PathTrajectorizer::computeNewXPosition /
+      computeNewYPosition / computeNewThetaPosition
+      (path_trajectorizer.hpp:106-135):
+        x' = x + (vx cos(th) + vy cos(pi/2 + th)) dt
+        y' = y + (vx sin(th) + vy sin(pi/2 + th)) dt
+        th' = th + wz dt
+  block_index_sequence <- the per-step parameter-block selection
+      j < control_horizon ? j/block : (control_horizon-1)/block
+      (update_state.hpp:48-59), precomputed statically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def block_index_sequence(n_steps: int, control_horizon: int, block_length: int) -> np.ndarray:
+    """Static map step -> decision-variable block index.
+
+    Step j uses block j//block_length while j < control_horizon, and the last
+    in-horizon block (control_horizon-1)//block_length beyond it
+    (update_state.hpp:48-59). Shapes are static so this is a numpy constant
+    baked into the jitted program.
+    """
+    j = np.arange(n_steps)
+    return (np.minimum(j, control_horizon - 1) // block_length).astype(np.int32)
+
+
+def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.ndarray):
+    """Integrate the unicycle model under block-constant controls.
+
+    pose0: (3,) [x, y, theta]; u: (B, 2) decision blocks [(v, w)];
+    block_idx: static (S,) int array from block_index_sequence.
+
+    Returns poses: (S+1, 3) — poses[0] == pose0, poses[k] is the state after
+    k Euler steps, i.e. the `computeUpdatedStateRedux(..., i=k-1, ...)`
+    result of the reference.
+    """
+    v_seq = u[jnp.asarray(block_idx)]  # (S, 2)
+
+    def step(pose, vw):
+        x, y, th = pose
+        x = x + vw[0] * jnp.cos(th) * dt
+        y = y + vw[0] * jnp.sin(th) * dt
+        th = th + vw[1] * dt
+        nxt = jnp.stack([x, y, th])
+        return nxt, nxt
+
+    _, traj = jax.lax.scan(step, pose0, v_seq)
+    return jnp.concatenate([pose0[None, :], traj], axis=0)
+
+
+def integrate_step(x, y, theta, vx, vy, wz, dt):
+    """One trajectorizer Euler step (path_trajectorizer.hpp:106-135).
+
+    Note cos(pi/2+th) = -sin(th), sin(pi/2+th) = cos(th): vy acts along the
+    body's left axis (omnidirectional strafing).
+    """
+    nx = x + (vx * jnp.cos(theta) - vy * jnp.sin(theta)) * dt
+    ny = y + (vx * jnp.sin(theta) + vy * jnp.cos(theta)) * dt
+    nth = theta + wz * dt
+    return nx, ny, nth

@@ -1,0 +1,98 @@
+"""Unit tests for the batched LM solver against closed-form solutions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nav2_social_mpc_controller_tpu.solver.lm import (
+    LMConfig,
+    TERM_FUNCTION_TOL,
+    TERM_GRADIENT_TOL,
+    TERM_NO_CONVERGENCE,
+    TERM_PARAMETER_TOL,
+    lm_solve,
+)
+
+INF = jnp.inf
+CFG = LMConfig(max_iterations=100, fn_tol=1e-12, gradient_tol=1e-12, param_tol=1e-14)
+
+
+def test_linear_least_squares_unconstrained():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(10, 4)))
+    b = jnp.asarray(rng.normal(size=(10,)))
+
+    u, stats = lm_solve(
+        lambda x: a @ x - b,
+        jnp.zeros(4),
+        -INF * jnp.ones(4),
+        INF * jnp.ones(4),
+        CFG,
+    )
+    expected = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(u), expected, atol=1e-8)
+    assert bool(stats.usable)
+    assert int(stats.termination) in (TERM_FUNCTION_TOL, TERM_GRADIENT_TOL, TERM_PARAMETER_TOL)
+
+
+def test_box_constrained_projection():
+    # minimize (x - 2)^2 with x <= 1 -> x* = 1
+    u, stats = lm_solve(
+        lambda x: x - 2.0,
+        jnp.zeros(1),
+        jnp.asarray([-1.0]),
+        jnp.asarray([1.0]),
+        CFG,
+    )
+    np.testing.assert_allclose(float(u[0]), 1.0, atol=1e-8)
+    assert bool(stats.usable)
+
+
+def test_rosenbrock():
+    def resid(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    u, stats = lm_solve(
+        resid, jnp.asarray([-1.2, 1.0]), -INF * jnp.ones(2), INF * jnp.ones(2), CFG
+    )
+    np.testing.assert_allclose(np.asarray(u), [1.0, 1.0], atol=1e-6)
+    assert float(stats.final_cost) < 1e-12
+
+
+def test_max_iterations_respected():
+    cfg = LMConfig(max_iterations=3, fn_tol=0.0, gradient_tol=0.0, param_tol=0.0)
+
+    def resid(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    u, stats = lm_solve(
+        resid, jnp.asarray([-1.2, 1.0]), -INF * jnp.ones(2), INF * jnp.ones(2), cfg
+    )
+    assert int(stats.iterations) == 3
+    assert int(stats.termination) == TERM_NO_CONVERGENCE
+    assert bool(stats.usable)  # max-iter is usable, like Ceres NO_CONVERGENCE
+
+
+def test_vmapped_batch_solves_independently():
+    rng = np.random.default_rng(1)
+    targets = jnp.asarray(rng.uniform(-3, 3, size=(16, 2)))
+
+    def solve_one(t):
+        return lm_solve(
+            lambda x: x - t, jnp.zeros(2), -INF * jnp.ones(2), INF * jnp.ones(2), CFG
+        )
+
+    u, stats = jax.vmap(solve_one)(targets)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(targets), atol=1e-8)
+    assert bool(jnp.all(stats.usable))
+
+
+def test_nan_residuals_marked_unusable():
+    u, stats = lm_solve(
+        lambda x: jnp.full((2,), jnp.nan) * x[0],
+        jnp.ones(1),
+        -INF * jnp.ones(1),
+        INF * jnp.ones(1),
+        CFG,
+    )
+    assert not bool(stats.usable)
