@@ -35,17 +35,32 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--people", type=int, default=3)
-    ap.add_argument("--config", choices=["social", "obstacle"], default="social")
+    ap.add_argument(
+        "--config", choices=["social", "obstacle", "omni6", "stress36"], default="social"
+    )
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None, help="capture a jax.profiler trace of the timed loop"
+    )
+    ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
     args = ap.parse_args()
 
     from nav2_social_mpc_controller_tpu.core.config import (
         benchmark_obstacle_only_config,
+        benchmark_omni_6agents_config,
         benchmark_social_config,
+        benchmark_stress_h36_config,
     )
-    from nav2_social_mpc_controller_tpu.controller.controller import make_carry, make_step_batch
+    from nav2_social_mpc_controller_tpu.controller.controller import make_carry
     from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario_batch
 
-    cfg = benchmark_social_config() if args.config == "social" else benchmark_obstacle_only_config()
+    cfg = {
+        "social": benchmark_social_config,
+        "obstacle": benchmark_obstacle_only_config,
+        "omni6": benchmark_omni_6agents_config,
+        "stress36": benchmark_stress_h36_config,
+    }[args.config]()
+    if args.config == "omni6":
+        args.people = max(args.people, 6)
 
     # Build a diverse scenario base host-side (data-loading layer), transfer
     # ONCE, and tile to the requested batch size on device — minimizing
@@ -62,27 +77,90 @@ def main():
     )
     scb = jax.block_until_ready(tile(scb_base))
 
-    step_b = make_step_batch(cfg)
+    import functools
+
+    from nav2_social_mpc_controller_tpu.controller.controller import step as step_fn
+
     carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(batch))
 
-    # Warm-up / compile
-    log("compiling + warm-up step...")
+    # The whole timed campaign is ONE device program: lax.scan over control
+    # ticks of the vmapped step (carry feeds back = warm starts). A single
+    # dispatch avoids per-tick tunnel round-trips — and queuing many separate
+    # executions has been observed to wedge the single-chip relay.
+    vstep = jax.vmap(functools.partial(step_fn, cfg))
+
+    @functools.partial(jax.jit, static_argnames="n_iters")
+    def run_ticks(scb, carry, n_iters):
+        def tick(c, i):
+            # Perturb the robot pose per tick so NO stage is loop-invariant
+            # (otherwise XLA hoists the carry-independent trajectorizer out
+            # of the scan and flatters the per-tick number).
+            eps = (1e-6 * i).astype(scb.robot.pose.dtype)
+            scb_i = scb._replace(robot=scb.robot._replace(pose=scb.robot.pose + eps))
+            cmd, aux, c = vstep(scb_i, c)
+            return c, (cmd.linear_x[0], aux.solve.usable, aux.solve.iterations)
+
+        carry, (v0, usable, iters) = jax.lax.scan(
+            tick, carry, jnp.arange(n_iters), length=n_iters
+        )
+        return carry, v0, usable[-1], iters[-1]
+
+    # AOT-compile both a 1-tick and an N-tick program, then execute each
+    # EXACTLY ONCE and time to scalar fetch. Rationale (measured on the axon
+    # tunnel): (a) block_until_ready can return before remote execution
+    # completes, so only a fetch is a trustworthy fence; (b) re-executing an
+    # executable can stall in the tunnel's claim path, so the timed run is a
+    # first execution. Per-tick cost = (N-tick time - 1-tick time) / (N - 1),
+    # which also cancels the fixed dispatch/fetch overhead.
+    assert args.iters >= 2, "--iters must be >= 2"
+    log("AOT compiling 1-tick and N-tick programs...")
     t0 = time.perf_counter()
-    cmd, aux, carry = step_b(scb, carry0)
-    jax.block_until_ready(cmd)
+    exe1 = run_ticks.lower(scb, carry0, 1).compile()
+    exe_n = run_ticks.lower(scb, carry0, args.iters).compile()
     compile_time = time.perf_counter() - t0
-    log(f"compiled in {compile_time:.1f}s; timing {args.iters} iters...")
+    log(f"compiled in {compile_time:.1f}s; executing 1-tick program...")
 
-    # Timed: iterate the controller tick (carry feeds back = warm starts)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        cmd, aux, carry = step_b(scb, carry)
-    jax.block_until_ready(cmd)
-    elapsed = time.perf_counter() - t0
+    def timed_exec(exe):
+        t0 = time.perf_counter()
+        carry, v0, usable, lm_iters = exe(scb, carry0)
+        np.asarray(v0)  # fetch -> hard completion fence
+        return time.perf_counter() - t0, usable, lm_iters
 
-    solves = batch * args.iters
-    solves_per_s = solves / elapsed
-    latency_ms = elapsed / args.iters * 1000.0
+    # min-of-k: individual executions over the axon tunnel can stall for
+    # minutes in the claim path; the minimum is the honest device+dispatch
+    # time.
+    def best_of(exe, k):
+        best = None
+        for j in range(k):
+            t, usable, lm_iters = timed_exec(exe)
+            log(f"  attempt {j}: {t:.3f}s")
+            if best is None or t < best[0]:
+                best = (t, usable, lm_iters)
+        return best
+
+    t_1, _, _ = best_of(exe1, args.repeats)
+    log(f"1 tick in {t_1:.3f}s; executing {args.iters}-tick program...")
+    if args.profile:
+        import contextlib
+
+        prof_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        t_n, usable, lm_iters = best_of(exe_n, args.repeats)
+    log(f"{args.iters} ticks in {t_n:.3f}s")
+
+    noisy = t_n <= t_1
+    if noisy:
+        # Tunnel stall contaminated the 1-tick time; fall back to the N-tick
+        # total as a conservative LOWER bound on throughput.
+        per_tick = t_n / args.iters
+    else:
+        per_tick = (t_n - t_1) / (args.iters - 1)
+    solves_per_s = batch / per_tick
+    latency_ms = per_tick * 1000.0
 
     result = {
         "metric": f"social_mpc_solves_per_s_per_chip_H{cfg.optimizer.control_horizon}_"
@@ -92,12 +170,15 @@ def main():
         "vs_baseline": round(solves_per_s / 1e4, 3),
         "batch": batch,
         "iters": args.iters,
-        "batch_latency_ms": round(latency_ms, 2),
-        "per_solve_latency_us": round(elapsed / solves * 1e6, 2),
+        "batch_latency_ms": round(latency_ms, 3),
+        "per_solve_latency_us": round(per_tick / batch * 1e6, 3),
+        "t_1_tick_s": round(t_1, 3),
+        "t_n_ticks_s": round(t_n, 3),
+        "noisy_timing_lower_bound": bool(noisy),
         "compile_s": round(compile_time, 1),
         "platform": jax.devices()[0].platform,
-        "usable_frac": float(np.mean(np.asarray(aux.solve.usable))),
-        "mean_lm_iters": float(np.mean(np.asarray(aux.solve.iterations))),
+        "usable_frac": float(np.mean(np.asarray(usable))),
+        "mean_lm_iters": float(np.mean(np.asarray(lm_iters))),
     }
     print(json.dumps(result))
 

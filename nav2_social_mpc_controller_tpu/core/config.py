@@ -233,6 +233,30 @@ def benchmark_social_config(**overrides) -> SocialMPCConfig:
     return SocialMPCConfig(**base)
 
 
+def benchmark_omni_6agents_config(**overrides) -> SocialMPCConfig:
+    """BASELINE.json config 3: omnidirectional robot, 6 agents, proxemics +
+    agent-angle critics, H=18. The optimizer's decision variables stay
+    (v, w) — the reference's omnidirectional flag only changes the reference
+    trajectory's control law (path_trajectorizer.cpp:190-194)."""
+    cfg = benchmark_social_config(**overrides)
+    return dataclasses.replace(
+        cfg,
+        n_agents=6,
+        trajectorizer=dataclasses.replace(cfg.trajectorizer, omnidirectional=True),
+    )
+
+
+def benchmark_stress_h36_config(**overrides) -> SocialMPCConfig:
+    """BASELINE.json config 5: H=36 stress horizon (6 blocks -> 12 decision
+    vars); max_time extended so the row budget covers the horizon."""
+    cfg = benchmark_social_config(**overrides)
+    return dataclasses.replace(
+        cfg,
+        trajectorizer=dataclasses.replace(cfg.trajectorizer, max_time=2.0),
+        optimizer=dataclasses.replace(cfg.optimizer, control_horizon=36),
+    )
+
+
 def benchmark_obstacle_only_config(**overrides) -> SocialMPCConfig:
     """The obst_only_parameters_in_benchmark.yaml configuration
     (params/obst_only_parameters_in_benchmark.yaml:115-136): identical

@@ -77,9 +77,14 @@ def _solve_damped(jtj, g, diag_clamped, radius, solve_fn):
 
 
 def default_linear_solve(a, b):
-    """Dense SPD solve; the XLA path (vmapped Cholesky). A Pallas batched
-    micro-Cholesky kernel is provided in solver.pallas_solve for large
-    batches of tiny systems."""
+    """Dense SPD solve via XLA Cholesky.
+
+    Measured on one v5e chip (batch 1024, D=6, 32 LM iters): the fully-fused
+    XLA batched Cholesky reaches 8.9M solves/s vs 7.4M for the Pallas
+    lane-batched kernel (solver.pallas_solve.spd_solve) — at D=6 the per-
+    iteration pallas_call dispatch + SoA transposes outweigh the kernel's
+    lane efficiency. Pass `linear_solve=spd_solve` to lm_solve to use the
+    Pallas path (it narrows the gap as D grows)."""
     return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b)
 
 

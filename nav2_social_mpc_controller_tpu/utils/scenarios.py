@@ -85,25 +85,23 @@ def make_costmap(h: int, w: int, resolution=0.05, origin=(-1.0, -3.0), obstacles
 
 
 def make_esdf(h: int, w: int, resolution=0.05, origin=(-1.0, -3.0), obstacle_cells=None, dtype=np.float32):
-    """Brute-force ESDF matching the obstacle_distance message: per-cell
-    distance [m] to the nearest obstacle cell and that cell's flat index
-    (x + y*W). With no obstacles, every index points at cell 0 and distances
-    are large. (h, w) == (100, 100) would trip the reference's invalid-grid
-    sentinel (optimizer.cpp:598) — avoid for valid grids."""
-    if obstacle_cells is None or len(obstacle_cells) == 0:
-        distances = np.full((h, w), 1e3, dtype)
-        indexes = np.zeros((h, w), np.int32)
-    else:
-        obs = np.asarray(obstacle_cells)  # (K, 2) as (x, y) cells
-        yy, xx = np.mgrid[0:h, 0:w]
-        d2 = (xx[..., None] - obs[None, None, :, 0]) ** 2 + (
-            yy[..., None] - obs[None, None, :, 1]
-        ) ** 2
-        nearest = np.argmin(d2, axis=-1)
-        distances = (np.sqrt(np.min(d2, axis=-1)) * resolution).astype(dtype)
-        indexes = (obs[nearest, 0] + obs[nearest, 1] * w).astype(np.int32)
+    """ESDF matching the obstacle_distance message: per-cell distance [m] to
+    the nearest obstacle cell and that cell's flat index (x + y*W), built by
+    the native C++ exact distance transform (runtime/esdf_builder.cpp; NumPy
+    fallback without a compiler). With no obstacles, every index points at
+    cell 0 and distances are large. (h, w) == (100, 100) would trip the
+    reference's invalid-grid sentinel (optimizer.cpp:598) — avoid for valid
+    grids."""
+    from nav2_social_mpc_controller_tpu.runtime import esdf as esdf_rt
+
+    occ = np.zeros((h, w), np.uint8)
+    if obstacle_cells is not None:
+        for (x, y) in obstacle_cells:
+            if 0 <= x < w and 0 <= y < h:
+                occ[y, x] = 1
+    distances, indexes = esdf_rt.build_esdf(occ, resolution)
     return ObstacleDistanceGrid(
-        distances=distances,
+        distances=distances.astype(dtype),
         indexes=indexes,
         origin=np.asarray(origin, dtype),
         resolution=np.asarray(resolution, dtype),
