@@ -13,13 +13,12 @@ Jacobian with 2B tangent passes.
 Shape/static-ness notes:
   * maxsize = round(max_time/time_step) (optimizer.cpp:492) is static; the
     row buffer is (maxsize, 6) and the step axis S = maxsize - 1.
-  * The reference shrinks control_horizon dynamically to the velocity count
-    when the path is shorter (optimizer.cpp:248-249). Here the block
-    structure stays static (config control_horizon / block_length); steps
-    beyond the dynamic count are masked out of every residual, which matches
-    the reference whenever n_steps >= control_horizon (the normal operating
-    regime) and approximates it near the goal (blocks with no active steps
-    keep their warm-start value). Documented deviation.
+  * The reference shrinks control_horizon/block_length dynamically to the
+    velocity count when the path is shorter (optimizer.cpp:248-249). The
+    decision-variable buffer stays static (n_blocks from config) but the
+    step->block map, horizon gating, bounds, and extraction all use the
+    dynamic (traced) horizon, reproducing the shrink exactly; unused
+    trailing blocks keep their warm-start value and receive no gradient.
   * Truncation quirk preserved: a path longer than maxsize keeps only the
     first maxsize-1 poses (optimizer.cpp:493-497).
 """
@@ -39,7 +38,10 @@ from nav2_social_mpc_controller_tpu.core.types import (
     SolveStats,
 )
 from nav2_social_mpc_controller_tpu.costs import critics
-from nav2_social_mpc_controller_tpu.models.motion import block_index_sequence, rollout_poses
+from nav2_social_mpc_controller_tpu.models.motion import (
+    block_index_sequence_dynamic,
+    rollout_poses,
+)
 from nav2_social_mpc_controller_tpu.models.sfm import project_people
 from nav2_social_mpc_controller_tpu.solver.lm import LMConfig, lm_solve
 
@@ -158,11 +160,16 @@ def build_residual_fn(
     w = cfg.optimizer.weights
     dt = cfg.trajectorizer.time_step
     s = dims.s
-    block_idx = block_index_sequence(s, dims.horizon, dims.block_length)
-    in_horizon = np.arange(s) < dims.horizon
 
     pose0 = rows[0, 0:3]
     n_vel = n_rows - 1
+    # Dynamic horizon shrink near the goal: control_horizon = min(cfg, n_vel),
+    # block_length = min(cfg, control_horizon) (optimizer.cpp:248-249).
+    h_dyn = jnp.maximum(jnp.minimum(dims.horizon, n_vel), 1)
+    bl_dyn = jnp.maximum(jnp.minimum(dims.block_length, h_dyn), 1)
+    block_idx = block_index_sequence_dynamic(s, h_dyn, bl_dyn)
+    in_horizon = jnp.arange(s) < h_dyn
+
     step_mask = jnp.arange(s) < n_vel
     social_mask = step_mask & people_present
     last = jnp.clip(n_rows - 1, 0, dims.maxsize - 1)
@@ -176,7 +183,7 @@ def build_residual_fn(
         poses = rollout_poses(pose0, u, dt, block_idx)  # (s+1, 3)
         new_pos = poses[1:, 0:2]
         new_yaw = poses[1:, 2]
-        vw_steps = u[jnp.asarray(block_idx)]  # (s, 2)
+        vw_steps = u[block_idx]  # (s, 2)
 
         parts = []
 
@@ -215,7 +222,10 @@ def build_residual_fn(
             )
 
         vf = critics.velocity_feasibility_cost(w.velocity_feasibility_weight, u, dims.n_vf)
-        vf_mask = (jnp.arange(dims.n_vf) + 1) < n_vel
+        # Added for steps 0 < i < control_horizon/block_length (and i within
+        # the velocity count), optimizer.cpp:364-370; pair q is step i = q+1.
+        vf_step = jnp.arange(dims.n_vf) + 1
+        vf_mask = (vf_step < (h_dyn // bl_dyn)) & (vf_step < n_vel)
         parts.append(jnp.where(vf_mask, vf, 0.0))
 
         return jnp.concatenate(parts)
@@ -268,15 +278,19 @@ def optimize(
     u0 = rows[0 : dims.n_blocks, 4:6]
 
     # Box bounds on the first control_horizon/block_length blocks
-    # (optimizer.cpp:373-379); any remainder block is unbounded.
+    # (optimizer.cpp:373-379, with the dynamic horizon shrink of :248-249);
+    # any remainder block is unbounded.
     opt = cfg.optimizer
-    n_bounded = dims.horizon // dims.block_length
-    bounded = np.arange(dims.n_blocks) < n_bounded
-    lo = np.where(bounded[:, None], [[opt.v_min, opt.w_min]], -np.inf).astype(np.float64)
-    hi = np.where(bounded[:, None], [[opt.v_max, opt.w_max]], np.inf).astype(np.float64)
+    n_vel = n_rows - 1
+    h_dyn = jnp.maximum(jnp.minimum(dims.horizon, n_vel), 1)
+    bl_dyn = jnp.maximum(jnp.minimum(dims.block_length, h_dyn), 1)
+    bounded = jnp.arange(dims.n_blocks) < (h_dyn // bl_dyn)
     dtype = rows.dtype
-    lower = jnp.asarray(lo, dtype).reshape(-1)
-    upper = jnp.asarray(hi, dtype).reshape(-1)
+    big = jnp.asarray(np.finfo(np.float32).max, dtype)
+    lo_b = jnp.asarray([opt.v_min, opt.w_min], dtype)
+    hi_b = jnp.asarray([opt.v_max, opt.w_max], dtype)
+    lower = jnp.where(bounded[:, None], lo_b[None, :], -big).reshape(-1)
+    upper = jnp.where(bounded[:, None], hi_b[None, :], big).reshape(-1)
 
     lm_cfg = LMConfig(
         max_iterations=opt.max_iterations,
@@ -291,8 +305,8 @@ def optimize(
     # Extraction: saving_velocities[j] = block min(j, H-1)//bl for
     # j = 0..S (optimizer.cpp:390-419 incl. the post-horizon extrapolation),
     # then the path is re-integrated from pose_0 (:420-446).
-    ext_idx = block_index_sequence(dims.s + 1, dims.horizon, dims.block_length)
-    cmds_out = u[jnp.asarray(ext_idx)]  # (maxsize, 2)
+    ext_idx = block_index_sequence_dynamic(dims.s + 1, h_dyn, bl_dyn)
+    cmds_out = u[ext_idx]  # (maxsize, 2)
     path_out = rollout_poses(rows[0, 0:3], u, dt, ext_idx)[1:]  # (maxsize, 3)
 
     ok = stats.usable & (n_rows >= 2)

@@ -36,6 +36,14 @@ def block_index_sequence(n_steps: int, control_horizon: int, block_length: int) 
     return (np.minimum(j, control_horizon - 1) // block_length).astype(np.int32)
 
 
+def block_index_sequence_dynamic(n_steps: int, control_horizon, block_length):
+    """Dynamic-horizon variant: control_horizon/block_length are traced
+    scalars (the reference shrinks them to the velocity count near the goal,
+    optimizer.cpp:248-249). Returns a (n_steps,) int32 device array."""
+    j = jnp.arange(n_steps)
+    return (jnp.minimum(j, control_horizon - 1) // block_length).astype(jnp.int32)
+
+
 def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.ndarray):
     """Integrate the unicycle model under block-constant controls.
 

@@ -294,10 +294,11 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
     s_max = maxsize - 1
     n_rows = len(rows)
     n_vel = n_rows - 1
-    h = min(cfg.optimizer.control_horizon, s_max)
-    bl = min(cfg.optimizer.parameter_block_length, h)
-    n_blocks = -(-h // bl)
-    n_vf = max(0, h // bl - 1)
+    # Dynamic horizon shrink (optimizer.cpp:248-249)
+    h = max(min(cfg.optimizer.control_horizon, s_max, n_vel), 1)
+    bl = max(min(cfg.optimizer.parameter_block_length, h), 1)
+    n_vf = max(0, min(cfg.optimizer.control_horizon, s_max) //
+               min(cfg.optimizer.parameter_block_length, min(cfg.optimizer.control_horizon, s_max)) - 1)
 
     pose0 = rows[0]
     final_pt = rows[n_rows - 1][0:2]
@@ -366,7 +367,7 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
 
     vf = np.zeros(n_vf)
     for p in range(n_vf):
-        if p + 1 < n_vel:
+        if p + 1 < h // bl and p + 1 < n_vel:
             dv = u_blocks[p + 1][0] - u_blocks[p][0]
             dw = u_blocks[p + 1][1] - u_blocks[p][1]
             vf[p] = w.velocity_feasibility_weight * (dv * dv + dw * dw)

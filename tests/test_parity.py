@@ -216,3 +216,65 @@ def test_full_solve_cmd_parity(cfg):
     # Costs should agree to solver tolerance:
     c_jax = float(stats.final_cost)
     assert abs(c_jax - c_oracle) <= 1e-3 * max(1.0, c_oracle)
+
+
+def test_short_path_dynamic_horizon_parity(cfg):
+    """Goal-approach regime: n_vel < control_horizon engages the reference's
+    dynamic horizon shrink (optimizer.cpp:248-249); residuals must still
+    match the oracle exactly."""
+    import numpy as np
+    from nav2_social_mpc_controller_tpu.core.types import PathInput, RobotState
+
+    sc = _scenario64(cfg, seed=5, n_people=2)
+    # 0.55 m straight path -> trajectorizer stops after ~12 steps
+    pts = np.zeros((cfg.max_path_points, 2))
+    pts[:, 0] = np.linspace(0.0, 0.55, cfg.max_path_points)
+    path = PathInput(points=pts, yaw=np.zeros(cfg.max_path_points), n=np.int32(cfg.max_path_points))
+    sc = sc._replace(
+        path=path,
+        robot=RobotState(pose=np.array([0.0, 0.0, 0.0]), speed=np.array([0.2, 0.0])),
+    )
+
+    dims = ProblemDims.from_config(cfg)
+    res = trajectorize(cfg.trajectorizer, sc.path, jnp.asarray(sc.robot.pose))
+    n_steps = int(res.n_steps)
+    assert 1 < n_steps < cfg.optimizer.control_horizon, f"want short path, got {n_steps} steps"
+
+    carry = ControllerCarry(
+        prev_path=jnp.zeros((dims.maxsize, 3), jnp.float64),
+        prev_cmds=jnp.zeros((dims.maxsize, 2), jnp.float64),
+        prev_n=jnp.zeros((), jnp.int32),
+    )
+    rows, n_rows = format_to_optimize(
+        cfg, dims, res.poses, res.cmds, res.n_steps, jnp.asarray(sc.robot.speed), carry
+    )
+    proj = project_people(
+        jnp.asarray(sc.people.state, jnp.float64),
+        rows,
+        n_rows,
+        jnp.asarray(sc.esdf.distances, jnp.float64),
+        jnp.asarray(sc.esdf.indexes),
+        jnp.asarray(sc.esdf.origin, jnp.float64),
+        jnp.asarray(sc.esdf.resolution, jnp.float64),
+        jnp.asarray(sc.esdf.valid),
+        maxtime=cfg.trajectorizer.max_time,
+        dt=cfg.trajectorizer.time_step,
+    )
+    rfn = build_residual_fn(cfg, dims, rows, n_rows, proj, jnp.asarray(True), sc.costmap)
+
+    n = int(n_rows)
+    o_proj = [np.asarray(p, np.float64) for p in proj[:n]]
+    rng = np.random.default_rng(11)
+    for _ in range(2):
+        u = rng.uniform([0.0, -1.4], [0.6, 1.4], size=(dims.n_blocks, 2))
+        r_jax = np.asarray(rfn(jnp.asarray(u.reshape(-1), jnp.float64)))
+        r_oracle = oracle.oracle_residuals(
+            cfg,
+            np.asarray(rows[:n], np.float64),
+            o_proj,
+            True,
+            _costmap_tuple(sc),
+            u,
+        )
+        assert r_jax.shape == r_oracle.shape
+        np.testing.assert_allclose(r_jax, r_oracle, atol=1e-8)
