@@ -119,7 +119,7 @@ def trajectorize(cfg: TrajectorizerConfig, path: PathInput, robot_pose: jnp.ndar
         )
 
     carry0 = (robot_pose[0], robot_pose[1], robot_pose[2], ~ok)
-    _, (poses, cmds, executed) = jax.lax.scan(step, carry0, None, length=max_steps)
+    _, (poses, cmds, executed) = jax.lax.scan(step, carry0, None, length=max_steps, unroll=5)
 
     poses = jnp.concatenate([robot_pose[None, :], poses], axis=0)
     n_steps = jnp.sum(executed.astype(jnp.int32))

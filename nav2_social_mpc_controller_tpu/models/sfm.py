@@ -333,5 +333,5 @@ def project_people(
         obs_in0 & esdf_valid,
     )
     steps = jnp.arange(s_plus_1 - 1, dtype=jnp.int32)
-    _, traj = jax.lax.scan(step, carry0, (robot_traj[:-1], steps))
+    _, traj = jax.lax.scan(step, carry0, (robot_traj[:-1], steps), unroll=4)
     return jnp.concatenate([init_people[None, :, :], traj], axis=0)

@@ -62,6 +62,9 @@ class LMConfig(NamedTuple):
 
 class _LMState(NamedTuple):
     u: jnp.ndarray
+    r: jnp.ndarray  # residuals at u (carried so each iteration costs ONE
+    #                 linearize pass at the trial point)
+    j: jnp.ndarray  # Jacobian at u
     cost: jnp.ndarray
     radius: jnp.ndarray
     decrease_factor: jnp.ndarray
@@ -102,17 +105,21 @@ def lm_solve(
     Returns (u_opt (D,), SolveStats). Jittable; vmap for batches.
     """
     dtype = u0.dtype
-    jac_fn = jax.jacfwd(residual_fn)
+    d = u0.shape[0]
 
-    def cost_of(u):
-        r = residual_fn(u)
-        return 0.5 * jnp.sum(r * r)
+    def value_and_jac(u):
+        """One primal pass + one D-wide linear tangent pass (jax.linearize):
+        cheaper than separate residual + jacfwd evaluations."""
+        y, f_lin = jax.linearize(residual_fn, u)
+        j_rows = jax.vmap(f_lin)(jnp.eye(d, dtype=u.dtype))  # (D, R)
+        return y, j_rows.T
 
-    initial_cost = cost_of(u0)
+    r0, j0 = value_and_jac(u0)
+    initial_cost = 0.5 * jnp.sum(r0 * r0)
 
     def body(st: _LMState) -> _LMState:
-        r = residual_fn(st.u)
-        j = jac_fn(st.u)  # (R, D)
+        r = st.r
+        j = st.j  # (R, D)
         g = j.T @ r  # gradient of 0.5||r||^2
         jtj = j.T @ j
 
@@ -127,7 +134,8 @@ def lm_solve(
         delta = u_new - st.u
 
         model_change = -(delta @ g) - 0.5 * (delta @ (jtj @ delta))
-        new_cost = cost_of(u_new)
+        r_new, j_new = value_and_jac(u_new)
+        new_cost = 0.5 * jnp.sum(r_new * r_new)
         actual_change = st.cost - new_cost
 
         rho = actual_change / model_change
@@ -150,6 +158,8 @@ def lm_solve(
         )
 
         u = jnp.where(accept, u_new, st.u)
+        r = jnp.where(accept, r_new, st.r)
+        j = jnp.where(accept, j_new, st.j)
         cost = jnp.where(accept, new_cost, st.cost)
 
         # Convergence tests (accepted steps only, as in Ceres)
@@ -181,6 +191,8 @@ def lm_solve(
 
         return _LMState(
             u=u,
+            r=r,
+            j=j,
             cost=cost,
             radius=radius.astype(dtype),
             decrease_factor=decrease_factor.astype(dtype),
@@ -195,6 +207,8 @@ def lm_solve(
 
     st0 = _LMState(
         u=u0,
+        r=r0,
+        j=j0,
         cost=initial_cost,
         radius=jnp.asarray(cfg.initial_radius, dtype),
         decrease_factor=jnp.asarray(2.0, dtype),
