@@ -32,14 +32,11 @@ def _cubic_hermite(p0, p1, p2, p3, x):
     return p1 + x * (c + x * (b + x * a))
 
 
-def bicubic_interpolate(grid: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
-    """Sample `grid` (H, W) at real coords (row, col) with Catmull-Rom
-    bicubic interpolation and border clamping, matching
-    ceres::BiCubicInterpolator<Grid2D>::Evaluate.
-
-    row/col may be any broadcast-compatible shape; returns that shape.
-    Differentiable in row/col (floor contributes zero gradient, as in the
-    Ceres analytic derivative).
+def bicubic_interpolate_gather(grid: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """Gather-stencil bicubic (the textbook formulation). Kept as the
+    cross-check implementation: 16 TPU gathers lower near-scalar (~1.9 ms
+    each at batch 4096 on v5e — 80% of the whole controller step), so the
+    hot path uses the MXU matmul formulation below instead.
     """
     h, w = grid.shape[-2], grid.shape[-1]
     r0 = jnp.floor(row)
@@ -61,6 +58,62 @@ def bicubic_interpolate(grid: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -
         for dr in (-1, 0, 1, 2)
     ]
     return _cubic_hermite(*rows_interp, fr)
+
+
+def _stencil_matrix(coord: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(S,) real coords -> (S, n) sparse stencil matrix T with the four
+    Catmull-Rom weights placed one-hot at clip(floor(coord)+d-1, 0, n-1),
+    d = 0..3, so that T @ values == the clamped cubic interpolation.
+
+    Weights are the _cubic_hermite polynomial regrouped per tap:
+      w[-1] = 0.5(-x^3 + 2x^2 - x)     w[0] = 0.5(3x^3 - 5x^2 + 2)
+      w[+1] = 0.5(-3x^3 + 4x^2 + x)    w[+2] = 0.5(x^3 - x^2)
+    floor() contributes zero gradient (Ceres' analytic derivative likewise
+    differentiates only through x).
+    """
+    i0 = jnp.floor(coord)
+    x = coord - i0
+    x2 = x * x
+    x3 = x2 * x
+    wts = jnp.stack(
+        [
+            0.5 * (-x3 + 2.0 * x2 - x),
+            0.5 * (3.0 * x3 - 5.0 * x2 + 2.0),
+            0.5 * (-3.0 * x3 + 4.0 * x2 + x),
+            0.5 * (x3 - x2),
+        ],
+        axis=-1,
+    )  # (S, 4)
+    idx = jnp.clip(
+        i0[..., None].astype(jnp.int32) + jnp.arange(-1, 3, dtype=jnp.int32), 0, n - 1
+    )  # (S, 4); clamped duplicates ACCUMULATE, matching the gather stencil
+    iota = jnp.arange(n, dtype=jnp.int32)
+    onehot = (idx[..., None] == iota).astype(coord.dtype)  # (S, 4, n)
+    return jnp.einsum("sd,sdn->sn", wts, onehot)
+
+
+def bicubic_interpolate(grid: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """Sample `grid` (H, W) at real coords (row, col) with Catmull-Rom
+    bicubic interpolation and border clamping, matching
+    ceres::BiCubicInterpolator<Grid2D>::Evaluate.
+
+    MXU formulation: value_s = R_s @ grid @ C_s with the spline weights
+    embedded in sparse one-hot stencil matrices — identical math to the
+    16-point gather stencil (up to fp reassociation: (R G) C vs R (G C)),
+    but the inner product runs on the systolic array instead of near-scalar
+    TPU gathers. Differentiable in row/col through the weight polynomials
+    (floor has zero gradient, as in Ceres' analytic derivative).
+
+    row/col: (...,) any matching shape; returns that shape.
+    """
+    h, w = grid.shape[-2], grid.shape[-1]
+    shape = jnp.broadcast_shapes(jnp.shape(row), jnp.shape(col))
+    rowf = jnp.broadcast_to(row, shape).reshape(-1)
+    colf = jnp.broadcast_to(col, shape).reshape(-1)
+    r_mat = _stencil_matrix(rowf, h)  # (S, H)
+    c_mat = _stencil_matrix(colf, w)  # (S, W)
+    rg = r_mat @ grid  # (S, W) — MXU
+    return jnp.sum(rg * c_mat, axis=-1).reshape(shape)
 
 
 def costmap_world_to_grid(point_xy: jnp.ndarray, origin: jnp.ndarray, resolution):
