@@ -40,6 +40,7 @@ from nav2_social_mpc_controller_tpu.core.types import (
 from nav2_social_mpc_controller_tpu.costs import critics
 from nav2_social_mpc_controller_tpu.models.motion import (
     block_index_sequence_dynamic,
+    expand_blocks,
     rollout_poses,
 )
 from nav2_social_mpc_controller_tpu.models.sfm import project_people
@@ -183,7 +184,7 @@ def build_residual_fn(
         poses = rollout_poses(pose0, u, dt, block_idx)  # (s+1, 3)
         new_pos = poses[1:, 0:2]
         new_yaw = poses[1:, 2]
-        vw_steps = u[block_idx]  # (s, 2)
+        vw_steps = expand_blocks(u, block_idx)  # (s, 2)
 
         parts = []
 
@@ -306,7 +307,7 @@ def optimize(
     # j = 0..S (optimizer.cpp:390-419 incl. the post-horizon extrapolation),
     # then the path is re-integrated from pose_0 (:420-446).
     ext_idx = block_index_sequence_dynamic(dims.s + 1, h_dyn, bl_dyn)
-    cmds_out = u[ext_idx]  # (maxsize, 2)
+    cmds_out = expand_blocks(u, ext_idx)  # (maxsize, 2)
     path_out = rollout_poses(rows[0, 0:3], u, dt, ext_idx)[1:]  # (maxsize, 3)
 
     ok = stats.usable & (n_rows >= 2)

@@ -33,10 +33,11 @@ class TrajectorizeResult(NamedTuple):
     ok: jnp.ndarray  # () bool — False iff input path has < 2 poses
 
 
-def _lookahead_index(px, py, valid, rx, ry, lookahead_dist):
+def _lookahead_point(px, py, valid, rx, ry, lookahead_dist):
     """Reference backward scan (path_trajectorizer.cpp:160-175): largest valid
     index with dist <= lookahead_dist; if none, the largest valid index among
-    distance minimizers."""
+    distance minimizers. Returns the waypoint COORDS via a one-hot reduction
+    (a per-step gather from the path array lowers near-scalar on TPU)."""
     p = px.shape[0]
     idx = jnp.arange(p)
     dist = jnp.hypot(rx - px, ry - py)
@@ -47,7 +48,9 @@ def _lookahead_index(px, py, valid, rx, ry, lookahead_dist):
     dist_masked = jnp.where(valid, dist, jnp.inf)
     rev_arg = jnp.argmin(dist_masked[::-1])
     idx_min = p - 1 - rev_arg
-    return jnp.where(any_within, idx_within, idx_min)
+    wp_index = jnp.where(any_within, idx_within, idx_min)
+    onehot = (idx == wp_index).astype(px.dtype)
+    return jnp.sum(onehot * px), jnp.sum(onehot * py)
 
 
 def trajectorize(cfg: TrajectorizerConfig, path: PathInput, robot_pose: jnp.ndarray):
@@ -75,9 +78,7 @@ def trajectorize(cfg: TrajectorizerConfig, path: PathInput, robot_pose: jnp.ndar
     def step(carry, _):
         rx, ry, rtheta, done = carry
 
-        wp_index = _lookahead_index(px, py, valid, rx, ry, cfg.lookahead_dist)
-        wpx = px[wp_index]
-        wpy = py[wp_index]
+        wpx, wpy = _lookahead_point(px, py, valid, rx, ry, cfg.lookahead_dist)
 
         # Transform waypoint into the local robot frame (:182-185)
         dx = (wpx - rx) * jnp.cos(rtheta) + (wpy - ry) * jnp.sin(rtheta)

@@ -44,6 +44,16 @@ def block_index_sequence_dynamic(n_steps: int, control_horizon, block_length):
     return (jnp.minimum(j, control_horizon - 1) // block_length).astype(jnp.int32)
 
 
+def expand_blocks(u: jnp.ndarray, block_idx) -> jnp.ndarray:
+    """Per-step controls u[block_idx] as a one-hot matmul: (S, B) @ (B, 2).
+
+    A batched gather from the tiny (B, 2) decision buffer lowers near-scalar
+    on TPU and sits inside every LM residual evaluation; the one-hot product
+    is exact and fuses into vector ops."""
+    onehot = (jnp.asarray(block_idx)[:, None] == jnp.arange(u.shape[0])).astype(u.dtype)
+    return onehot @ u
+
+
 def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.ndarray):
     """Integrate the unicycle model under block-constant controls.
 
@@ -54,7 +64,7 @@ def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.n
     k Euler steps, i.e. the `computeUpdatedStateRedux(..., i=k-1, ...)`
     result of the reference.
     """
-    v_seq = u[jnp.asarray(block_idx)]  # (S, 2)
+    v_seq = expand_blocks(u, block_idx)  # (S, 2)
 
     def step(pose, vw):
         x, y, th = pose

@@ -62,10 +62,11 @@ class LMConfig(NamedTuple):
 
 class _LMState(NamedTuple):
     u: jnp.ndarray
-    r: jnp.ndarray  # residuals at u (carried so each iteration costs ONE
-    #                 linearize pass at the trial point)
-    j: jnp.ndarray  # Jacobian at u
     cost: jnp.ndarray
+    g: jnp.ndarray  # J^T r at u   — the Jacobian itself is never carried:
+    jtj: jnp.ndarray  # J^T J at u — only these (D,)/(D,D) reductions are, so
+    #                  the while-loop carry (and its per-iteration select
+    #                  copies) stays tiny instead of (R, D)-sized
     radius: jnp.ndarray
     decrease_factor: jnp.ndarray
     iters: jnp.ndarray
@@ -80,15 +81,17 @@ def _solve_damped(jtj, g, diag_clamped, radius, solve_fn):
 
 
 def default_linear_solve(a, b):
-    """Dense SPD solve via XLA Cholesky.
+    """Dense SPD solve: Pallas lane-batched Cholesky on TPU, XLA elsewhere.
 
-    Measured on one v5e chip (batch 1024, D=6, 32 LM iters): the fully-fused
-    XLA batched Cholesky reaches 8.9M solves/s vs 7.4M for the Pallas
-    lane-batched kernel (solver.pallas_solve.spd_solve) — at D=6 the per-
-    iteration pallas_call dispatch + SoA transposes outweigh the kernel's
-    lane efficiency. Pass `linear_solve=spd_solve` to lm_solve to use the
-    Pallas path (it narrows the gap as D grows)."""
-    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b)
+    Inside the full controller step's LM loop the XLA Cholesky custom-call
+    costs ~2.5 ms per iteration at batch 4096 on v5e (traced: 25% of solve
+    time); the Pallas kernel (solver.pallas_solve.spd_solve) runs the same
+    factorization as unrolled lane-vector ops. spd_solve is a custom_vmap:
+    unbatched it is a plain cho_solve, so this default works for single
+    solves too."""
+    from nav2_social_mpc_controller_tpu.solver.pallas_solve import spd_solve
+
+    return spd_solve(a, b)
 
 
 def lm_solve(
@@ -107,21 +110,22 @@ def lm_solve(
     dtype = u0.dtype
     d = u0.shape[0]
 
-    def value_and_jac(u):
-        """One primal pass + one D-wide linear tangent pass (jax.linearize):
-        cheaper than separate residual + jacfwd evaluations."""
+    def value_grad(u):
+        """One primal pass + one D-wide linear tangent pass (jax.linearize),
+        reduced immediately to (cost, g = J^T r, JtJ = J^T J) so the full
+        (R, D) Jacobian is never materialized in the loop carry."""
         y, f_lin = jax.linearize(residual_fn, u)
         j_rows = jax.vmap(f_lin)(jnp.eye(d, dtype=u.dtype))  # (D, R)
-        return y, j_rows.T
+        cost = 0.5 * jnp.sum(y * y)
+        g = j_rows @ y
+        jtj = j_rows @ j_rows.T
+        return cost, g, jtj
 
-    r0, j0 = value_and_jac(u0)
-    initial_cost = 0.5 * jnp.sum(r0 * r0)
+    initial_cost, g0, jtj0 = value_grad(u0)
 
     def body(st: _LMState) -> _LMState:
-        r = st.r
-        j = st.j  # (R, D)
-        g = j.T @ r  # gradient of 0.5||r||^2
-        jtj = j.T @ j
+        g = st.g
+        jtj = st.jtj
 
         grad_ok = jnp.max(jnp.abs(g)) <= cfg.gradient_tol
 
@@ -134,8 +138,7 @@ def lm_solve(
         delta = u_new - st.u
 
         model_change = -(delta @ g) - 0.5 * (delta @ (jtj @ delta))
-        r_new, j_new = value_and_jac(u_new)
-        new_cost = 0.5 * jnp.sum(r_new * r_new)
+        new_cost, g_new, jtj_new = value_grad(u_new)
         actual_change = st.cost - new_cost
 
         rho = actual_change / model_change
@@ -158,8 +161,8 @@ def lm_solve(
         )
 
         u = jnp.where(accept, u_new, st.u)
-        r = jnp.where(accept, r_new, st.r)
-        j = jnp.where(accept, j_new, st.j)
+        g = jnp.where(accept, g_new, st.g)
+        jtj = jnp.where(accept, jtj_new, st.jtj)
         cost = jnp.where(accept, new_cost, st.cost)
 
         # Convergence tests (accepted steps only, as in Ceres)
@@ -191,9 +194,9 @@ def lm_solve(
 
         return _LMState(
             u=u,
-            r=r,
-            j=j,
             cost=cost,
+            g=g,
+            jtj=jtj,
             radius=radius.astype(dtype),
             decrease_factor=decrease_factor.astype(dtype),
             iters=st.iters + active.astype(jnp.int32),
@@ -207,9 +210,9 @@ def lm_solve(
 
     st0 = _LMState(
         u=u0,
-        r=r0,
-        j=j0,
         cost=initial_cost,
+        g=g0,
+        jtj=jtj0,
         radius=jnp.asarray(cfg.initial_radius, dtype),
         decrease_factor=jnp.asarray(2.0, dtype),
         iters=jnp.zeros((), jnp.int32),
