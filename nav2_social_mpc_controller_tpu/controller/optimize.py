@@ -45,6 +45,7 @@ from nav2_social_mpc_controller_tpu.models.motion import (
 )
 from nav2_social_mpc_controller_tpu.models.sfm import project_people
 from nav2_social_mpc_controller_tpu.solver.lm import LMConfig, lm_solve
+from nav2_social_mpc_controller_tpu.world.grid import crop_grid_window
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +159,17 @@ def build_residual_fn(
         origin=jnp.asarray(costmap.origin),
         resolution=jnp.asarray(costmap.resolution),
     )
+    # Rolling-window crop around pose_0 (once per tick, outside the LM loop)
+    # so the per-iteration obstacle stencil matmuls read a small VMEM-sized
+    # window; exact-output sizing rule in OptimizerConfig.obstacle_window_cells.
+    win_data, win_origin = crop_grid_window(
+        costmap.data,
+        costmap.origin,
+        costmap.resolution,
+        rows[0, 0:2],
+        cfg.optimizer.obstacle_window_cells,
+    )
+    costmap = Costmap(data=win_data, origin=win_origin, resolution=costmap.resolution)
     w = cfg.optimizer.weights
     dt = cfg.trajectorizer.time_step
     s = dims.s

@@ -73,6 +73,17 @@ class OptimizerConfig:
     w_min: float = -1.4
     w_max: float = 1.4
 
+    # TPU performance knob (no reference equivalent; 0 = disabled): crop the
+    # costmap once per tick to an (n, n) window centered on the robot before
+    # the LM loop, so every obstacle-critic stencil matmul reads the window
+    # instead of the full grid. EXACT-output requirement: the window must
+    # cover the robot's reachable set, i.e.
+    #   n/2 >= (S*time_step*v_max + front_offset)/resolution + 2 bicubic taps
+    # (= 30.4 cells for the benchmark configs at resolution 0.05, so 64 is
+    # safe). Samples never leave a window that satisfies this, making the
+    # crop bit-identical to full-grid sampling including border clamping.
+    obstacle_window_cells: int = 0
+
     def __post_init__(self):
         if self.linear_solver_type not in VALID_LINEAR_SOLVER_TYPES:
             raise ValueError(
@@ -217,6 +228,7 @@ def benchmark_social_config(**overrides) -> SocialMPCConfig:
             parameter_block_length=6,
             current_path_weight=1.0,
             current_cmds_weight=0.5,
+            obstacle_window_cells=64,
             weights=WeightsConfig(
                 distance_weight=20.0,
                 social_weight=120.0,

@@ -195,6 +195,27 @@ def bicubic_interpolate(grid: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -
     return _bicubic(grid, rowf, colf).reshape(shape)
 
 
+def crop_grid_window(data: jnp.ndarray, origin: jnp.ndarray, resolution, center_xy: jnp.ndarray, window: int):
+    """Extract an (n, n) window of `data` centered (cell-wise) on the world
+    point center_xy, clamped inside the grid; returns (window_data,
+    window_origin). ONE dynamic-slice per tick, so the per-LM-iteration
+    stencil matmuls read n*n cells instead of the full grid.
+
+    Bit-identical to sampling the full grid (including border clamping)
+    whenever every query stays >= 2 cells inside the window — see
+    OptimizerConfig.obstacle_window_cells for the sizing rule."""
+    h, w = data.shape[-2], data.shape[-1]
+    if window <= 0 or window >= min(h, w):
+        return data, origin
+    cell = jnp.floor((center_xy - origin) / resolution).astype(jnp.int32)  # (col, row)
+    half = window // 2
+    start_col = jnp.clip(cell[0] - half, 0, w - window)
+    start_row = jnp.clip(cell[1] - half, 0, h - window)
+    win = jax.lax.dynamic_slice(data, (start_row, start_col), (window, window))
+    shift = jnp.stack([start_col, start_row]).astype(origin.dtype) * resolution
+    return win, origin + shift
+
+
 def costmap_world_to_grid(point_xy: jnp.ndarray, origin: jnp.ndarray, resolution):
     """World -> continuous grid coords, reference convention (no center
     offset): (p - origin) / resolution (obstacle_cost_function.hpp:161-162).

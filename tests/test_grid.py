@@ -109,3 +109,62 @@ def test_esdf_gather_matches_reference_arithmetic():
         jnp.asarray(distances), jnp.asarray(indexes), jnp.asarray(origin), res, jnp.asarray([99.0, 0.0])
     )
     assert not bool(ok2)
+
+
+def test_matmul_formulation_matches_gather_stencil():
+    """The MXU one-hot stencil formulation must agree with the classic
+    16-point gather stencil (values, point-Jacobians, and grid cotangents)
+    everywhere including far out-of-range queries."""
+    import jax
+
+    from nav2_social_mpc_controller_tpu.world.grid import (
+        bicubic_interpolate,
+        bicubic_interpolate_gather,
+    )
+
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.uniform(0.0, 254.0, (37, 53)))
+    row = jnp.asarray(rng.uniform(-6.0, 60.0, (200,)))
+    col = jnp.asarray(rng.uniform(-6.0, 60.0, (200,)))
+
+    np.testing.assert_allclose(
+        np.asarray(bicubic_interpolate(g, row, col)),
+        np.asarray(bicubic_interpolate_gather(g, row, col)),
+        atol=1e-10,
+    )
+    ja = jax.jacfwd(lambda rc: bicubic_interpolate(g, rc[0], rc[1]))(jnp.stack([row, col]))
+    jb = jax.jacfwd(lambda rc: bicubic_interpolate_gather(g, rc[0], rc[1]))(jnp.stack([row, col]))
+    np.testing.assert_allclose(np.asarray(ja), np.asarray(jb), atol=1e-10)
+    # Grid cotangent (exercises the non-zero dgrid branch of the custom JVP
+    # through transposition)
+    ga = jax.grad(lambda gg: jnp.sum(bicubic_interpolate(gg, row[:9], col[:9])))(g)
+    gb = jax.grad(lambda gg: jnp.sum(bicubic_interpolate_gather(gg, row[:9], col[:9])))(g)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-12)
+
+
+def test_window_crop_is_exact_on_controller_step():
+    """The rolling-window costmap crop must not change controller output at
+    all when the window covers the reachable set (the benchmark sizing)."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from nav2_social_mpc_controller_tpu.core.config import benchmark_social_config
+    from nav2_social_mpc_controller_tpu.controller.controller import make_carry, step
+    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario_batch
+
+    cfg_win = benchmark_social_config()
+    assert cfg_win.optimizer.obstacle_window_cells == 64
+    cfg_full = dataclasses.replace(
+        cfg_win, optimizer=dataclasses.replace(cfg_win.optimizer, obstacle_window_cells=0)
+    )
+    scb = jax.tree.map(jnp.asarray, make_scenario_batch(cfg_win, 8, n_valid_people=3))
+    carry = jax.vmap(lambda _: make_carry(cfg_win))(jnp.arange(8))
+    cmd_w, aux_w, _ = jax.jit(jax.vmap(functools.partial(step, cfg_win)))(scb, carry)
+    cmd_f, aux_f, _ = jax.jit(jax.vmap(functools.partial(step, cfg_full)))(scb, carry)
+    np.testing.assert_array_equal(np.asarray(cmd_w.linear_x), np.asarray(cmd_f.linear_x))
+    np.testing.assert_array_equal(np.asarray(cmd_w.angular_z), np.asarray(cmd_f.angular_z))
+    np.testing.assert_array_equal(
+        np.asarray(aux_w.solve.final_cost), np.asarray(aux_f.solve.final_cost)
+    )

@@ -58,3 +58,14 @@ def test_integrate_step_omni_axes():
     x, y, th = integrate_step(0.0, 0.0, math.pi / 2, 1.0, 1.0, 0.5, 0.1)
     np.testing.assert_allclose([float(x), float(y)], [-0.1, 0.1], atol=1e-9)
     np.testing.assert_allclose(float(th), math.pi / 2 + 0.05, atol=1e-12)
+
+
+def test_expand_blocks_matches_take():
+    from nav2_social_mpc_controller_tpu.models.motion import expand_blocks
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(4, 2)))
+    idx = jnp.asarray(rng.integers(0, 4, size=(29,)), dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(expand_blocks(u, idx)), np.asarray(u)[np.asarray(idx)]
+    )
