@@ -65,9 +65,21 @@ def main():
     # Build a diverse scenario base host-side (data-loading layer), transfer
     # ONCE, and tile to the requested batch size on device — minimizing
     # host->device traffic (HBM-bandwidth rule: the grids dominate bytes).
-    base = min(64, args.batch)
-    log(f"generating {base} base scenarios...")
-    scb_host = make_scenario_batch(cfg, base, n_valid_people=args.people)
+    # Native multithreaded generator when a compiler is present (512 unique
+    # scenarios); NumPy oracle fallback (64).
+    from nav2_social_mpc_controller_tpu.runtime.scenario_native import (
+        generate_scenario_batch,
+        native_available,
+    )
+
+    if native_available():
+        base = min(512, args.batch)
+        log(f"generating {base} base scenarios (native)...")
+        scb_host = generate_scenario_batch(cfg, base, n_valid_people=args.people)
+    else:
+        base = min(64, args.batch)
+        log(f"generating {base} base scenarios...")
+        scb_host = make_scenario_batch(cfg, base, n_valid_people=args.people)
     reps = max(1, args.batch // base)
     batch = base * reps
     log(f"device transfer + tile x{reps} -> batch {batch}...")
