@@ -131,7 +131,13 @@ def _bicubic_flat_with_grads(grid, rowf, colf):
     h, w = grid.shape[-2], grid.shape[-1]
     r_mat, rp_mat = _stencil_matrices(rowf, h, with_deriv=True)
     c_mat, cp_mat = _stencil_matrices(colf, w, with_deriv=True)
-    both = jnp.concatenate([r_mat, rp_mat], axis=0) @ grid  # (2S, W)
+    # Materialize the stencils at a fusion boundary: under vmap, XLA's
+    # fusion cost model otherwise emits them batch-minor and pays three
+    # (B, S, n) transposition copies per LM iteration to feed the
+    # row-major batched matmul (~0.45 ms/iter at B=4096 on v5e).
+    both_r = jnp.concatenate([r_mat, rp_mat], axis=0)
+    both_r, c_mat, cp_mat = jax.lax.optimization_barrier((both_r, c_mat, cp_mat))
+    both = both_r @ grid  # (2S, W)
     s = rowf.shape[0]
     rg, rpg = both[:s], both[s:]
     val = jnp.sum(rg * c_mat, axis=-1)
