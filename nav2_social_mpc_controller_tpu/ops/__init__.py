@@ -9,6 +9,9 @@ as Pallas kernels with the batch laid along the 128-wide lane axis.
 
   bicubic_interpolate   Catmull-Rom grid sampling as stencil matmuls with an
                         analytic custom JVP (world/grid.py)
+  bicubic_linearize     fused (value, d/drow, d/dcol) sampling; on TPU a
+                        Pallas kernel builds the stencils in VMEM and runs
+                        one MXU dot per scenario (ops/bicubic_pallas.py)
   crop_grid_window      rolling-window grid crop, exact under a reachable-set
                         bound (world/grid.py)
   expand_blocks         block-constant control expansion as a one-hot product
@@ -27,6 +30,7 @@ from nav2_social_mpc_controller_tpu.solver.pallas_solve import (  # noqa: F401
 from nav2_social_mpc_controller_tpu.world.grid import (  # noqa: F401
     bicubic_interpolate,
     bicubic_interpolate_gather,
+    bicubic_linearize,
     crop_grid_window,
     esdf_nearest_obstacle_diff,
     sample_costmap,

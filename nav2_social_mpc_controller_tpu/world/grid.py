@@ -146,6 +146,44 @@ def _bicubic_flat_with_grads(grid, rowf, colf):
     return val, d_row, d_col
 
 
+@jax.custom_batching.custom_vmap
+def bicubic_linearize(grid, rowf, colf):
+    """(value, d/drow, d/dcol) at flat coords. Batch-aware: under vmap with a
+    per-scenario grid batch on TPU this dispatches the fused Pallas kernel
+    (ops/bicubic_pallas.py), which builds the Catmull-Rom stencils in VMEM
+    and never materializes the (B, S, n) stencil intermediates in HBM —
+    traced at ~1.3 ms/LM-iteration (48% of the iteration) for the XLA
+    formulation at B=4096 on v5e. Unbatched (or on CPU / f64 / shared-grid
+    batches) it is the plain XLA stencil-matmul path."""
+    return _bicubic_flat_with_grads(grid, rowf, colf)
+
+
+@bicubic_linearize.def_vmap
+def _bicubic_linearize_vmap_rule(axis_size, in_batched, grid, rowf, colf):
+    g_b, r_b, c_b = in_batched
+    out_batched = (True, True, True)
+    use_pallas = (
+        g_b
+        and r_b
+        and c_b
+        and grid.ndim == 3  # no nested batching
+        and grid.dtype == jnp.float32
+        and rowf.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        # Deferred import: ops/__init__ imports back from this module.
+        from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+            bicubic_linearize_pallas,
+        )
+
+        return bicubic_linearize_pallas(grid, rowf, colf), out_batched
+    gv = grid if g_b else jnp.broadcast_to(grid, (axis_size,) + grid.shape)
+    rv = rowf if r_b else jnp.broadcast_to(rowf, (axis_size,) + rowf.shape)
+    cv = colf if c_b else jnp.broadcast_to(colf, (axis_size,) + colf.shape)
+    return jax.vmap(_bicubic_flat_with_grads)(gv, rv, cv), out_batched
+
+
 @jax.custom_jvp
 def _bicubic(grid, rowf, colf):
     return _bicubic_flat(grid, rowf, colf)
@@ -160,7 +198,7 @@ def _bicubic_jvp(primals, tangents):
     grid, rowf, colf = primals
     dgrid, drow, dcol = tangents
     zero = jax.custom_derivatives.SymbolicZero
-    val, d_row, d_col = _bicubic_flat_with_grads(grid, rowf, colf)
+    val, d_row, d_col = bicubic_linearize(grid, rowf, colf)
     dval = jnp.zeros_like(val)
     if type(drow) is not zero:
         dval = dval + d_row * drow

@@ -1,0 +1,116 @@
+"""Tests for the fused Pallas bicubic-linearize kernel (interpret mode on
+CPU) and its custom_vmap dispatch through world.grid.bicubic_linearize."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import bicubic_linearize_pallas
+from nav2_social_mpc_controller_tpu.world.grid import (
+    _bicubic_flat_with_grads,
+    bicubic_linearize,
+)
+
+
+def _random_case(rng, b, s, h, w, margin=2.0):
+    grid = rng.uniform(0.0, 254.0, size=(b, h, w)).astype(np.float32)
+    # Include out-of-range coords to exercise border clamping.
+    rowf = rng.uniform(-margin, h - 1 + margin, size=(b, s)).astype(np.float32)
+    colf = rng.uniform(-margin, w - 1 + margin, size=(b, s)).astype(np.float32)
+    return jnp.asarray(grid), jnp.asarray(rowf), jnp.asarray(colf)
+
+
+def _xla_reference(grid, rowf, colf):
+    val, dr, dc = jax.vmap(_bicubic_flat_with_grads)(grid, rowf, colf)
+    return np.asarray(val), np.asarray(dr), np.asarray(dc)
+
+
+def test_pallas_kernel_matches_xla_stencil_path():
+    rng = np.random.default_rng(0)
+    grid, rowf, colf = _random_case(rng, b=5, s=30, h=40, w=40)  # odd B, odd S
+    val, dr, dc = bicubic_linearize_pallas(grid, rowf, colf, use_bf16=False, interpret=True)
+    ev, edr, edc = _xla_reference(grid, rowf, colf)
+    np.testing.assert_allclose(np.asarray(val), ev, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dr), edr, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dc), edc, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_kernel_bf16_dot_close():
+    # bf16 operand truncation in the MXU dot mirrors XLA's DEFAULT-precision
+    # TPU matmul; on a 0..254 costmap the error budget is ~1 cost unit.
+    rng = np.random.default_rng(1)
+    grid, rowf, colf = _random_case(rng, b=8, s=32, h=32, w=48)
+    val, dr, dc = bicubic_linearize_pallas(grid, rowf, colf, use_bf16=True, interpret=True)
+    ev, edr, edc = _xla_reference(grid, rowf, colf)
+    np.testing.assert_allclose(np.asarray(val), ev, rtol=2e-2, atol=1.5)
+    np.testing.assert_allclose(np.asarray(dr), edr, rtol=2e-2, atol=1.5)
+    np.testing.assert_allclose(np.asarray(dc), edc, rtol=2e-2, atol=1.5)
+
+
+def test_pallas_kernel_border_clamp_flat():
+    # Far outside the grid every tap clamps to the border row/col: the value
+    # is the corner value and both derivatives vanish.
+    grid = jnp.broadcast_to(jnp.arange(25, dtype=jnp.float32).reshape(1, 5, 5), (3, 5, 5))
+    rowf = jnp.full((3, 9), -7.0, jnp.float32)
+    colf = jnp.full((3, 9), -7.0, jnp.float32)
+    val, dr, dc = bicubic_linearize_pallas(grid, rowf, colf, use_bf16=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(val), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dc), 0.0, atol=1e-5)
+
+
+def test_custom_vmap_dispatch_unbatched_and_cpu_fallback():
+    # On CPU the vmap rule must take the XLA fallback and match per-scenario
+    # unbatched calls exactly.
+    rng = np.random.default_rng(2)
+    grid, rowf, colf = _random_case(rng, b=4, s=12, h=20, w=20)
+    batched = jax.vmap(bicubic_linearize)(grid, rowf, colf)
+    for i in range(4):
+        single = bicubic_linearize(grid[i], rowf[i], colf[i])
+        for got, exp in zip(batched, single):
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(exp), rtol=1e-6)
+
+
+def test_custom_vmap_shared_grid_fallback():
+    # One grid shared across the batch (grid unbatched under vmap): the rule
+    # must broadcast and stay correct.
+    rng = np.random.default_rng(3)
+    _, rowf, colf = _random_case(rng, b=6, s=10, h=16, w=16)
+    grid = jnp.asarray(rng.uniform(0.0, 254.0, size=(16, 16)).astype(np.float32))
+    batched = jax.vmap(bicubic_linearize, in_axes=(None, 0, 0))(grid, rowf, colf)
+    for i in range(6):
+        single = bicubic_linearize(grid, rowf[i], colf[i])
+        for got, exp in zip(batched, single):
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(exp), rtol=1e-6)
+
+
+def test_linearize_inside_lm_transform_stack():
+    # The kernel's dispatch point in production: vmap over scenarios of a
+    # jax.linearize through the custom-JVP bicubic sample. Verify tangents
+    # still match jacfwd of the gather-stencil formulation.
+    from nav2_social_mpc_controller_tpu.world.grid import (
+        bicubic_interpolate,
+        bicubic_interpolate_gather,
+    )
+
+    rng = np.random.default_rng(4)
+    grid, rowf, colf = _random_case(rng, b=3, s=7, h=24, w=24, margin=0.0)
+
+    def f(g, r, c):
+        y, f_lin = jax.linearize(lambda rc: bicubic_interpolate(g, rc[0], rc[1]), jnp.stack([r, c]))
+        tr = f_lin(jnp.stack([jnp.ones_like(r), jnp.zeros_like(c)]))
+        tc = f_lin(jnp.stack([jnp.zeros_like(r), jnp.ones_like(c)]))
+        return y, tr, tc
+
+    y, tr, tc = jax.vmap(f)(grid, rowf, colf)
+
+    def g_ref(g, r, c):
+        val = jax.vmap(lambda rr, cc: bicubic_interpolate_gather(g, rr, cc))(r, c)
+        jr = jax.vmap(jax.grad(bicubic_interpolate_gather, argnums=1), in_axes=(None, 0, 0))(g, r, c)
+        jc = jax.vmap(jax.grad(bicubic_interpolate_gather, argnums=2), in_axes=(None, 0, 0))(g, r, c)
+        return val, jr, jc
+
+    ev, er, ec = jax.vmap(g_ref, in_axes=(0, 0, 0))(grid, rowf, colf)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ev), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(er), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(ec), rtol=1e-4, atol=1e-3)
