@@ -64,6 +64,29 @@ def fov_filter(cfg: SocialMPCConfig, people: AgentsState, robot_pose, costmap) -
     return AgentsState(state=new_state)
 
 
+def prune_plan(path, start: int):
+    """Erase the first `start` poses from a (host-side) plan, keeping the
+    static buffer shape: remaining poses shift to the front, the tail holds
+    the last valid pose, and the count shrinks (path_handler.cpp:100 erases
+    plan_.poses.begin()..transformation_begin from the stored plan)."""
+    import numpy as np
+
+    start = int(start)
+    n = int(path.n)
+    if start <= 0 or n <= 0:
+        return path
+    start = min(start, n - 1)  # never erase the whole plan
+    p = path.points.shape[0]
+    n_new = n - start
+    src = np.minimum(start + np.arange(p), start + n_new - 1)
+    src = np.clip(src, 0, p - 1)
+    return path._replace(
+        points=np.asarray(path.points)[src],
+        yaw=np.asarray(path.yaw)[src],
+        n=np.int32(n_new),
+    )
+
+
 def make_carry(cfg: SocialMPCConfig, dtype=jnp.float32) -> ControllerCarry:
     """Fresh warm-start memory sized for this config."""
     dims = ProblemDims.from_config(cfg)
@@ -156,6 +179,7 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
         people_proj=res.people_proj,
         status=status,
         solve=res.stats,
+        plan_start_index=windowed.start_index,
     )
     return cmd, aux, new_carry
 
@@ -209,4 +233,13 @@ class SocialMPCController:
         if self._plan is not None:
             scenario = scenario._replace(path=self._plan)
         cmd, aux, self._carry = self._step(scenario, self._carry)
+        # Prune the passed poses from the stored plan — the reference ERASES
+        # [begin(), transformation_begin) from its plan copy every tick
+        # (path_handler.cpp:100); here the jitted step returns the prune
+        # point and the host shrinks its copy, so the next tick's
+        # max_robot_pose_search_dist window starts from the pruned head.
+        self._plan = prune_plan(
+            scenario.path if self._plan is None else self._plan,
+            int(aux.plan_start_index),
+        )
         return cmd, aux

@@ -184,3 +184,7 @@ class StepAux(NamedTuple):
     people_proj: jnp.ndarray  # (S+1, N, 6) projected people trajectories
     status: jnp.ndarray  # () int32, STATUS_*
     solve: SolveStats
+    plan_start_index: jnp.ndarray  # () int32 — the prune point found by plan
+    #   windowing; the reference ERASES the passed poses from its stored plan
+    #   (path_handler.cpp:100). Host drivers holding the plan consume this to
+    #   shrink their copy across ticks (SocialMPCController.compute_velocity_commands).

@@ -432,6 +432,198 @@ def _oracle_agent_angle(weight, new_yaw, pose0, agents):
 # ---------------------------------------------------------------- LM solve
 
 
+def oracle_transform_global_plan(plan_pts, robot_pose, max_search_dist, dist_threshold):
+    """PathHandler::transformGlobalPlan (path_handler.cpp:40-108): locate the
+    closest pose among those within max_search_dist of integrated path length
+    (nav2_util first_after_integrated_distance + min_by), window forward until
+    euclidean distance from the robot exceeds dist_threshold, and prune the
+    passed poses. Returns (window_pts (m, 2), begin) or None when empty."""
+    n = len(plan_pts)
+    if n == 0:
+        return None
+    # first_after_integrated_distance: first pose where cumulative segment
+    # length exceeds the bound (exclusive upper bound of the search).
+    ub = n
+    cum = 0.0
+    for i in range(n - 1):
+        cum += math.hypot(
+            plan_pts[i + 1][0] - plan_pts[i][0], plan_pts[i + 1][1] - plan_pts[i][1]
+        )
+        if cum > max_search_dist:
+            ub = i + 1
+            break
+    # min_by over [0, ub): FIRST minimum wins (std::min_element semantics).
+    begin = 0
+    best = math.inf
+    for i in range(ub):
+        d = math.hypot(robot_pose[0] - plan_pts[i][0], robot_pose[1] - plan_pts[i][1])
+        if d < best:
+            best = d
+            begin = i
+    # find_if from begin: first pose farther than dist_threshold ends it.
+    end = n
+    for i in range(begin, n):
+        d = math.hypot(robot_pose[0] - plan_pts[i][0], robot_pose[1] - plan_pts[i][1])
+        if d > dist_threshold:
+            end = i
+            break
+    window = [tuple(plan_pts[i]) for i in range(begin, end)]
+    if not window:
+        return None  # "Resulting plan has 0 poses in it." exception
+    return window, begin
+
+
+def oracle_fov_filter(cfg, people_rows, robot_pose, costmap):
+    """FOV + costmap filter (social_mpc_controller.cpp:197-215) followed by
+    people_to_status padding/truncation to exactly n_agents slots
+    (optimizer.cpp:454-482; the reference hardcodes 3). people_rows: (N, 6)
+    with t == -1 marking invalid inputs. Returns (status (n_agents, 6),
+    people_present bool)."""
+    cm_data, cm_origin, cm_res = costmap
+    h, w = cm_data.shape
+    kept = []
+    for p in people_rows:
+        if p[3] == -1:
+            continue
+        # Costmap2D::worldToMap: reject outside [origin, origin + size)
+        if p[0] < cm_origin[0] or p[1] < cm_origin[1]:
+            continue
+        if int((p[0] - cm_origin[0]) / cm_res) >= w or int((p[1] - cm_origin[1]) / cm_res) >= h:
+            continue
+        angle_to_person = math.atan2(p[1] - robot_pose[1], p[0] - robot_pose[0])
+        rel = wrap_atan2(angle_to_person - robot_pose[2])
+        if abs(rel) < cfg.fov_angle:
+            kept.append(p)
+    present = len(kept) != 0  # the critics gate is people.people.size() != 0
+    n_slots = len(people_rows)
+    status = np.zeros((n_slots, 6))
+    status[:, 3] = -1.0
+    for i, p in enumerate(kept[:n_slots]):
+        status[i] = [p[0], p[1], p[2], 0.0, p[4], p[5]]
+    return status, present
+
+
+def oracle_optimize(cfg, poses, cmds, people_status, people_present, costmap, esdf, speed, memory):
+    """Optimizer::optimize (optimizer.cpp:148-452) incl. memory seeding,
+    format blend, SFM projection, LM solve, post-horizon extrapolation, and
+    path re-rollout.
+
+    poses/cmds: trajectorizer output lists; memory: dict with
+    'prev_path' (m, 3) / 'prev_cmds' (m, 2) or empty. MUTATES memory.
+    Returns (ok, out_cmds (n, 2), out_path (n, 3), people_proj) — on
+    ok=False nothing is returned beyond the flag (caller falls back)."""
+    if len(poses) < 2:
+        return False, None, None, None  # before memory seeding (:158-162)
+
+    # Memory seeding happens BEFORE format (optimizer.cpp:174-186).
+    if memory.get("prev_path") is None or len(memory["prev_path"]) == 0:
+        memory["prev_path"] = np.array([[p[0], p[1], p[2]] for p in poses])
+        memory["prev_cmds"] = np.array([[c[0], c[2]] for c in cmds])
+
+    rows = oracle_format(
+        cfg, poses, cmds, speed, memory["prev_path"], memory["prev_cmds"]
+    )
+    people_proj = oracle_project_people(
+        cfg, people_status, rows, esdf[:4],
+        esdf_valid=bool(esdf[4]) if len(esdf) > 4 else True,
+    )
+
+    tcfg = cfg.trajectorizer
+    n_rows = len(rows)
+    n_vel = n_rows - 1
+    maxsize = int(round(tcfg.max_time / tcfg.time_step))
+    s_max = maxsize - 1
+    h = max(min(cfg.optimizer.control_horizon, s_max, n_vel), 1)
+    bl = max(min(cfg.optimizer.parameter_block_length, h), 1)
+    n_blocks = (h - 1) // bl + 1
+
+    # Warm start: parameter block b aliases row b's velocity storage
+    # (optimizer.cpp:251-261).
+    u0 = np.array([[rows[b][4], rows[b][5]] for b in range(n_blocks)])
+    opt = cfg.optimizer
+    n_bounded = h // bl
+    lo = np.where((np.arange(n_blocks) < n_bounded)[:, None],
+                  [[opt.v_min, opt.w_min]], -np.inf).reshape(-1)
+    hi = np.where((np.arange(n_blocks) < n_bounded)[:, None],
+                  [[opt.v_max, opt.w_max]], np.inf).reshape(-1)
+
+    cm = costmap[:3]
+
+    def rfn(u_flat):
+        return oracle_residuals(
+            cfg, rows, people_proj, people_present, cm, u_flat.reshape(n_blocks, 2)
+        )
+
+    u_flat, _cost = oracle_lm_solve(
+        rfn, u0.reshape(-1), lo, hi,
+        opt.max_iterations, opt.fn_tol, opt.gradient_tol, opt.param_tol,
+    )
+    u = u_flat.reshape(n_blocks, 2)
+
+    # Post-horizon extrapolation + block expansion (optimizer.cpp:389-419):
+    # steps i < h take block i//bl; steps i >= h take block (h-1)//bl.
+    out_cmds = []
+    for i in range(n_vel + 1):
+        b = i // bl if i < h else (h - 1) // bl
+        out_cmds.append([u[b][0], u[b][1]])
+    out_cmds = np.array(out_cmds)
+    # Path re-rollout from pose_0 (:420-446); one pose per saving velocity.
+    x, y, th = rows[0][0], rows[0][1], rows[0][2]
+    out_path = []
+    for v, wv in out_cmds:
+        x += v * math.cos(th) * cfg.trajectorizer.time_step
+        y += v * math.sin(th) * cfg.trajectorizer.time_step
+        th += wv * cfg.trajectorizer.time_step
+        out_path.append([x, y, th])
+    out_path = np.array(out_path)
+
+    memory["prev_path"] = out_path.copy()
+    memory["prev_cmds"] = out_cmds.copy()
+    return True, out_cmds, out_path, people_proj
+
+
+def oracle_step(cfg, plan_pts, robot_pose, speed, people_rows, costmap, esdf, memory):
+    """SocialMPCController::computeVelocityCommands
+    (social_mpc_controller.cpp:162-257): windowing -> trajectorize -> FOV
+    filter -> optimize -> degradation ladder. MUTATES memory. Returns
+    (cmd (vx, vy, wz), status, pruned_plan_pts):
+      status 0 = optimized, 1 = fallback to trajectorizer cmds,
+      2 = crawl fallback (trajectorize failed).
+
+    costmap: (data, origin, res); esdf: (dist, idx, origin, res[, valid])."""
+    cm_data, cm_origin, cm_res = costmap
+    h, w = cm_data.shape
+    dist_threshold = max(w * cm_res, h * cm_res) / 2.0
+
+    win = oracle_transform_global_plan(
+        plan_pts, robot_pose, cfg.max_robot_pose_search_dist, dist_threshold
+    )
+    if win is None:
+        return (0.1, 0.0, 0.0), 2, plan_pts
+    window, begin = win
+    pruned_plan = [tuple(p) for p in plan_pts[begin:]]
+    # getTransformedGoal(2.5, ...) is computed but its result is a dead
+    # variable (social_mpc_controller.cpp:174 'goal' never read).
+
+    traj = oracle_trajectorize(cfg.trajectorizer, window, robot_pose)
+    if traj is None:
+        return (0.1, 0.0, 0.0), 2, pruned_plan
+    poses, cmds = traj
+    init_cmds = [tuple(c) for c in cmds]
+
+    people_status, present = oracle_fov_filter(cfg, people_rows, robot_pose, costmap)
+
+    ok, out_cmds, _path, _proj = oracle_optimize(
+        cfg, poses, cmds, people_status, present, costmap, esdf, speed, memory
+    )
+    if not ok:
+        if not init_cmds:
+            return (0.1, 0.0, 0.0), 2, pruned_plan
+        c0 = init_cmds[0]
+        return (c0[0], 0.0, c0[2]), 1, pruned_plan
+    return (out_cmds[0][0], 0.0, out_cmds[0][1]), 0, pruned_plan
+
+
 def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol):
     """Ceres-style LM trust region with finite-difference Jacobian."""
     u = np.clip(np.array(u0, dtype=np.float64), lower, upper)

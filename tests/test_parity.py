@@ -218,6 +218,67 @@ def test_full_solve_cmd_parity(cfg):
     assert abs(c_jax - c_oracle) <= 1e-3 * max(1.0, c_oracle)
 
 
+_SWEEP_CONFIGS = ["social3", "social2", "obstacle0", "omni6", "stress36"]
+
+
+def _sweep_cfg(name):
+    from nav2_social_mpc_controller_tpu.core.config import (
+        benchmark_obstacle_only_config,
+        benchmark_omni_6agents_config,
+        benchmark_stress_h36_config,
+    )
+
+    return {
+        "social3": (benchmark_social_config(), 3),
+        "social2": (benchmark_social_config(), 2),
+        "obstacle0": (benchmark_obstacle_only_config(), 0),
+        "omni6": (benchmark_omni_6agents_config(), 6),
+        "stress36": (benchmark_stress_h36_config(), 3),
+    }[name]
+
+
+@pytest.mark.parametrize("name", list(_SWEEP_CONFIGS))
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+def test_residual_parity_sweep(name, seed):
+    """Residual-vector parity across every benchmark config x 10 seeds
+    (VERDICT r1 item 3): omnidirectional control law, obstacle-only
+    weights, H=36 stress horizon, and 0/2/3/6-agent scenarios all match the
+    oracle bit-for-bit at 1e-8 in float64."""
+    c, n_people = _sweep_cfg(name)
+    sc, dims, rows, n_rows, rfn, o_proj, present = _residual_setup(
+        c, seed=seed, n_people=n_people
+    )
+    assert present == (n_people > 0)
+    rng = np.random.default_rng(100 + seed)
+    u = rng.uniform([0.0, -1.4], [0.6, 1.4], size=(dims.n_blocks, 2))
+    r_jax = np.asarray(rfn(jnp.asarray(u.reshape(-1), jnp.float64)))
+    r_oracle = oracle.oracle_residuals(
+        c,
+        np.asarray(rows[: int(n_rows)], np.float64),
+        o_proj,
+        present,
+        _costmap_tuple(sc),
+        u,
+    )
+    assert r_jax.shape == r_oracle.shape
+    np.testing.assert_allclose(r_jax, r_oracle, atol=1e-8)
+
+
+@pytest.mark.parametrize("name", ["omni6", "obstacle0"])
+def test_trajectorize_parity_sweep(name):
+    """Trajectorizer parity for the omnidirectional control law
+    (path_trajectorizer.cpp:190-194) and the obstacle-only config."""
+    c, n_people = _sweep_cfg(name)
+    for seed in range(5):
+        sc = make_scenario(c, seed=seed, n_valid_people=n_people, dtype=np.float64)
+        res = trajectorize(c.trajectorizer, sc.path, jnp.asarray(sc.robot.pose))
+        o = oracle.oracle_trajectorize(c.trajectorizer, _valid_path_pts(sc), sc.robot.pose)
+        n = int(res.n_steps)
+        assert n == len(o[1]), f"step count mismatch seed {seed}"
+        np.testing.assert_allclose(np.asarray(res.poses[: n + 1]), np.asarray(o[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(res.cmds[:n]), np.asarray(o[1]), atol=1e-9)
+
+
 def test_short_path_dynamic_horizon_parity(cfg):
     """Goal-approach regime: n_vel < control_horizon engages the reference's
     dynamic horizon shrink (optimizer.cpp:248-249); residuals must still

@@ -1,0 +1,198 @@
+"""Full-controller-step and multi-tick parity vs the NumPy oracle
+(VERDICT round 1 items 2-3): plan windowing, FOV filter, degradation ladder,
+and the warm-start blend (current_cmds_weight = 0.5) actually firing on
+ticks 2-3 — all compared end-to-end against
+SocialMPCController::computeVelocityCommands semantics
+(social_mpc_controller.cpp:162-257, optimizer.cpp:484-551)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nav2_social_mpc_controller_tpu.core.config import (
+    benchmark_obstacle_only_config,
+    benchmark_omni_6agents_config,
+    benchmark_social_config,
+    benchmark_stress_h36_config,
+)
+from nav2_social_mpc_controller_tpu.core.types import RobotState
+from nav2_social_mpc_controller_tpu.controller.controller import (
+    make_carry,
+    make_step,
+    prune_plan,
+)
+from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
+from parity import oracle
+
+CONFIGS = {
+    "social": (benchmark_social_config, 3),
+    "obstacle": (benchmark_obstacle_only_config, 0),
+    "omni6": (benchmark_omni_6agents_config, 6),
+}
+
+_STEPS = {}
+
+
+def _step_for(name):
+    if name not in _STEPS:
+        _STEPS[name] = make_step(CONFIGS[name][0]())
+    return _STEPS[name]
+
+
+def _cm_tuple(sc):
+    return (
+        np.asarray(sc.costmap.data, np.float64),
+        np.asarray(sc.costmap.origin, np.float64),
+        float(sc.costmap.resolution),
+    )
+
+
+def _esdf_tuple(sc):
+    return (
+        np.asarray(sc.esdf.distances, np.float64),
+        np.asarray(sc.esdf.indexes),
+        np.asarray(sc.esdf.origin, np.float64),
+        float(sc.esdf.resolution),
+        bool(sc.esdf.valid),
+    )
+
+
+def _scripted_poses(sc, n_ticks, stride=4):
+    """Robot poses riding the plan: tick t sits on plan point t*stride with
+    the local path yaw — guarantees the windowing prune point advances."""
+    pts = np.asarray(sc.path.points, np.float64)
+    yaw = np.asarray(sc.path.yaw, np.float64)
+    n = int(sc.path.n)
+    out = []
+    for t in range(n_ticks):
+        i = min(t * stride, n - 1)
+        out.append(np.array([pts[i, 0], pts[i, 1], yaw[i]], np.float64))
+    return out
+
+
+def _run_framework(name, sc0, poses):
+    cfg = CONFIGS[name][0]()
+    step = _step_for(name)
+    carry = make_carry(cfg, dtype=jnp.float64)
+    plan = sc0.path
+    out = []
+    for pose in poses:
+        sc = sc0._replace(
+            path=plan, robot=RobotState(pose=pose, speed=np.asarray(sc0.robot.speed))
+        )
+        cmd, aux, carry = step(sc, carry)
+        out.append(
+            (float(cmd.linear_x), float(cmd.angular_z), int(aux.status), int(aux.plan_start_index))
+        )
+        plan = prune_plan(plan, int(aux.plan_start_index))
+    return out, carry
+
+
+def _run_oracle(name, sc0, poses):
+    cfg = CONFIGS[name][0]()
+    plan_pts = [tuple(p) for p in np.asarray(sc0.path.points[: int(sc0.path.n)], np.float64)]
+    memory = {}
+    people = np.asarray(sc0.people.state, np.float64)
+    speed = np.asarray(sc0.robot.speed, np.float64)
+    cm = _cm_tuple(sc0)
+    esdf = _esdf_tuple(sc0)
+    out = []
+    for pose in poses:
+        n_before = len(plan_pts)
+        cmd, status, plan_pts = oracle.oracle_step(
+            cfg, plan_pts, pose, speed, people, cm, esdf, memory
+        )
+        out.append((cmd[0], cmd[2], status, n_before - len(plan_pts)))
+    return out, memory
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+@pytest.mark.parametrize("seed", [0, 7])
+def test_full_step_parity_single_tick(name, seed):
+    """cmd_vel parity within 1e-3 (BASELINE.md north star) for the FULL step:
+    windowing + FOV filter + warm-start seeding + LM solve + extraction."""
+    cfg_fn, n_people = CONFIGS[name]
+    cfg = cfg_fn()
+    sc = make_scenario(cfg, seed=seed, n_valid_people=n_people, dtype=np.float64)
+    poses = _scripted_poses(sc, 1)
+    fw, _ = _run_framework(name, sc, poses)
+    orc, _ = _run_oracle(name, sc, poses)
+    assert fw[0][2] == orc[0][2] == 0, f"status mismatch: {fw[0]} vs {orc[0]}"
+    assert fw[0][3] == orc[0][3], "prune point mismatch"
+    np.testing.assert_allclose(fw[0][:2], orc[0][:2], atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_multi_tick_warm_start_parity(seed):
+    """Three closed ticks on the social config: tick 2+ runs with non-empty
+    memory, so the current_cmds_weight=0.5 / current_path_weight blend
+    (optimizer.cpp:484-551) actually fires on both sides."""
+    cfg = benchmark_social_config()
+    sc = make_scenario(cfg, seed=seed, n_valid_people=3, dtype=np.float64)
+    poses = _scripted_poses(sc, 3)
+    fw, carry = _run_framework("social", sc, poses)
+    orc, memory = _run_oracle("social", sc, poses)
+    assert int(carry.prev_n) > 0 and len(memory["prev_path"]) > 0
+    for t in range(3):
+        assert fw[t][2] == orc[t][2] == 0, f"tick {t} status: {fw[t]} vs {orc[t]}"
+        assert fw[t][3] == orc[t][3], f"tick {t} prune mismatch"
+        np.testing.assert_allclose(
+            fw[t][:2], orc[t][:2], atol=1e-3, err_msg=f"tick {t} cmd_vel"
+        )
+
+
+def test_fallback_ladder_parity_degenerate_plan():
+    """A 1-point plan: trajectorize fails on both sides -> crawl command
+    (0.1, 0, 0) with matching status (social_mpc_controller.cpp:180-189)."""
+    cfg = benchmark_social_config()
+    sc = make_scenario(cfg, seed=0, n_valid_people=0, dtype=np.float64)
+    pts = np.zeros_like(np.asarray(sc.path.points))
+    sc = sc._replace(path=sc.path._replace(points=pts, yaw=np.zeros_like(np.asarray(sc.path.yaw)), n=np.int32(1)))
+    poses = [np.array([0.0, 0.0, 0.0])]
+    fw, _ = _run_framework("social", sc, poses)
+    orc, _ = _run_oracle("social", sc, poses)
+    assert fw[0][2] == orc[0][2] == 2
+    np.testing.assert_allclose(fw[0][:2], (0.1, 0.0), atol=1e-12)
+    np.testing.assert_allclose(orc[0][:2], (0.1, 0.0), atol=1e-12)
+
+
+def test_fov_filter_parity():
+    """People behind the robot or outside the costmap are dropped on both
+    sides (social_mpc_controller.cpp:197-215); an agent exactly at the FOV
+    boundary stays out (< is strict)."""
+    cfg = benchmark_social_config()
+    sc = make_scenario(cfg, seed=1, n_valid_people=3, dtype=np.float64)
+    st = np.asarray(sc.people.state, np.float64).copy()
+    robot = np.array([0.0, 0.0, 0.0])
+    st[0, 0:2] = (-1.5, 0.0)   # behind -> |rel| = pi, dropped
+    st[1, 0:2] = (50.0, 0.0)   # outside costmap, dropped
+    st[2, 0:2] = (1.0, 0.3)    # in view, kept
+    st[:, 3] = 0.0
+    sc = sc._replace(people=sc.people._replace(state=st))
+
+    from nav2_social_mpc_controller_tpu.controller.controller import fov_filter
+
+    filtered = fov_filter(cfg, sc.people, jnp.asarray(robot), sc.costmap)
+    fw_valid = np.asarray(filtered.valid)
+    status, present = oracle.oracle_fov_filter(cfg, st, robot, _cm_tuple(sc))
+    orc_count = int((status[:, 3] != -1.0).sum())
+    assert present
+    assert int(fw_valid.sum()) == orc_count == 1
+    kept = status[status[:, 3] != -1.0]
+    np.testing.assert_allclose(kept[0, 0:2], (1.0, 0.3))
+
+
+def test_invalid_esdf_sentinel_parity():
+    """esdf.valid = False (the reference's 100x100 sentinel,
+    optimizer.cpp:598-603) disables people projection on both sides — the
+    projected agents stay invalid and the solve still succeeds."""
+    cfg = benchmark_social_config()
+    sc = make_scenario(cfg, seed=2, n_valid_people=3, dtype=np.float64)
+    sc = sc._replace(esdf=sc.esdf._replace(valid=np.asarray(False)))
+    poses = _scripted_poses(sc, 1)
+    fw, _ = _run_framework("social", sc, poses)
+    orc, _ = _run_oracle("social", sc, poses)
+    assert fw[0][2] == orc[0][2] == 0
+    np.testing.assert_allclose(fw[0][:2], orc[0][:2], atol=1e-3)
