@@ -1,19 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark harness: social-MPC solves/s/chip on the benchmark config.
+"""Benchmark harness: social-MPC solves/s/chip across the BASELINE configs.
 
 Measures the FULL controller step (plan windowing -> trajectorize -> FOV
 filter -> SFM people projection -> 40-iteration LM solve -> extraction) on a
 batch of independent scenarios — the reference solves ONE such problem per
 50 ms control tick on CPU (BASELINE.md).
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N}
-vs_baseline is measured against the north-star target of 1e4 solves/s/chip
+Default run (what the driver executes) covers all four single-chip BASELINE
+configurations — obstacle-only H18/0 agents, social H18/3, omnidirectional
+H18/6 (the north-star metric config), stress H36 — plus a latency-vs-batch
+curve on the social config, and prints ONE JSON line whose headline value is
+the omni-6-agent throughput:
+
+  {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N,
+   "configs": {...}, "latency_curve": [...], "max_batch_within_50ms": N}
+
+vs_baseline is against the north-star target of 1e4 solves/s/chip
 (BASELINE.json; the reference publishes no throughput numbers, its envelope
 is 20 solves/s budget on CPU).
 
-Runs on whatever platform the ambient JAX environment provides (real TPU
-under axon; CPU elsewhere). Use --batch/--iters to adjust.
+Single-config mode: `python bench.py --config social --batch 4096`.
 """
 
 import argparse
@@ -30,167 +36,239 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--people", type=int, default=3)
-    ap.add_argument(
-        "--config", choices=["social", "obstacle", "omni6", "stress36"], default="social"
-    )
-    ap.add_argument(
-        "--profile", metavar="DIR", default=None, help="capture a jax.profiler trace of the timed loop"
-    )
-    ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
-    args = ap.parse_args()
+CONFIG_PEOPLE = {"social": 3, "obstacle": 0, "omni6": 6, "stress36": 3}
 
+
+def get_config(name):
     from nav2_social_mpc_controller_tpu.core.config import (
         benchmark_obstacle_only_config,
         benchmark_omni_6agents_config,
         benchmark_social_config,
         benchmark_stress_h36_config,
     )
-    from nav2_social_mpc_controller_tpu.controller.controller import make_carry
-    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario_batch
 
-    cfg = {
+    return {
         "social": benchmark_social_config,
         "obstacle": benchmark_obstacle_only_config,
         "omni6": benchmark_omni_6agents_config,
         "stress36": benchmark_stress_h36_config,
-    }[args.config]()
-    if args.config == "omni6":
-        args.people = max(args.people, 6)
+    }[name]()
 
-    # Build a diverse scenario base host-side (data-loading layer), transfer
-    # ONCE, and tile to the requested batch size on device — minimizing
-    # host->device traffic (HBM-bandwidth rule: the grids dominate bytes).
-    # Native multithreaded generator when a compiler is present (512 unique
-    # scenarios); NumPy oracle fallback (64).
+
+def make_batch(cfg, batch, n_people):
+    """Build a diverse scenario base host-side (data-loading layer), transfer
+    ONCE, and tile to the requested batch size on device — minimizing
+    host->device traffic (HBM-bandwidth rule: the grids dominate bytes).
+    Native multithreaded generator when a compiler is present (512 unique
+    scenarios); NumPy oracle fallback (64)."""
     from nav2_social_mpc_controller_tpu.runtime.scenario_native import (
         generate_scenario_batch,
         native_available,
     )
+    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario_batch
 
     if native_available():
-        base = min(512, args.batch)
-        log(f"generating {base} base scenarios (native)...")
-        scb_host = generate_scenario_batch(cfg, base, n_valid_people=args.people)
+        base = min(512, batch)
+        scb_host = generate_scenario_batch(cfg, base, n_valid_people=n_people)
     else:
-        base = min(64, args.batch)
-        log(f"generating {base} base scenarios...")
-        scb_host = make_scenario_batch(cfg, base, n_valid_people=args.people)
-    reps = max(1, args.batch // base)
-    batch = base * reps
-    log(f"device transfer + tile x{reps} -> batch {batch}...")
+        base = min(64, batch)
+        scb_host = make_scenario_batch(cfg, base, n_valid_people=n_people)
+    reps = max(1, batch // base)
     scb_base = jax.tree.map(jnp.asarray, scb_host)
     tile = jax.jit(
         lambda t: jax.tree.map(lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), t)
     )
-    scb = jax.block_until_ready(tile(scb_base))
+    return jax.block_until_ready(tile(scb_base)), base * reps
 
+
+def compile_program(cfg, scb, carry0):
+    """ONE AOT program with a DYNAMIC tick count (fori_loop over the vmapped
+    step with the warm-start carry feeding back): the same executable times
+    both the 1-tick and the N-tick campaign, halving compile time vs the
+    former two-lowering scheme (VERDICT r1 item 10). A single dispatch per
+    measurement avoids per-tick tunnel round-trips."""
     import functools
 
     from nav2_social_mpc_controller_tpu.controller.controller import step as step_fn
 
-    carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(batch))
-
-    # The whole timed campaign is ONE device program: lax.scan over control
-    # ticks of the vmapped step (carry feeds back = warm starts). A single
-    # dispatch avoids per-tick tunnel round-trips — and queuing many separate
-    # executions has been observed to wedge the single-chip relay.
     vstep = jax.vmap(functools.partial(step_fn, cfg))
+    batch = scb.robot.pose.shape[0]
 
-    @functools.partial(jax.jit, static_argnames="n_iters")
-    def run_ticks(scb, carry, n_iters):
-        def tick(c, i):
+    @jax.jit
+    def run_ticks(scb, carry, n):
+        def tick(t, state):
+            carry, _ = state
             # Perturb the robot pose per tick so NO stage is loop-invariant
             # (otherwise XLA hoists the carry-independent trajectorizer out
-            # of the scan and flatters the per-tick number).
-            eps = (1e-6 * i).astype(scb.robot.pose.dtype)
-            scb_i = scb._replace(robot=scb.robot._replace(pose=scb.robot.pose + eps))
-            cmd, aux, c = vstep(scb_i, c)
-            return c, (cmd.linear_x[0], aux.solve.usable, aux.solve.iterations)
+            # of the loop and flatters the per-tick number).
+            eps = (1e-6 * t).astype(scb.robot.pose.dtype)
+            scb_t = scb._replace(robot=scb.robot._replace(pose=scb.robot.pose + eps))
+            cmd, aux, carry = vstep(scb_t, carry)
+            return (carry, (cmd.linear_x[0], aux.solve.usable, aux.solve.iterations))
 
-        carry, (v0, usable, iters) = jax.lax.scan(
-            tick, carry, jnp.arange(n_iters), length=n_iters
+        out0 = (
+            jnp.zeros((), scb.robot.pose.dtype),
+            jnp.zeros((batch,), bool),
+            jnp.zeros((batch,), jnp.int32),
         )
-        return carry, v0, usable[-1], iters[-1]
+        carry, (v0, usable, iters) = jax.lax.fori_loop(0, n, tick, (carry, out0))
+        return carry, v0, usable, iters
 
-    # AOT-compile both a 1-tick and an N-tick program, then execute each
-    # EXACTLY ONCE and time to scalar fetch. Rationale (measured on the axon
-    # tunnel): (a) block_until_ready can return before remote execution
-    # completes, so only a fetch is a trustworthy fence; (b) re-executing an
-    # executable can stall in the tunnel's claim path, so the timed run is a
-    # first execution. Per-tick cost = (N-tick time - 1-tick time) / (N - 1),
-    # which also cancels the fixed dispatch/fetch overhead.
-    assert args.iters >= 2, "--iters must be >= 2"
-    log("AOT compiling 1-tick and N-tick programs...")
     t0 = time.perf_counter()
-    exe1 = run_ticks.lower(scb, carry0, 1).compile()
-    exe_n = run_ticks.lower(scb, carry0, args.iters).compile()
-    compile_time = time.perf_counter() - t0
-    log(f"compiled in {compile_time:.1f}s; executing 1-tick program...")
+    exe = run_ticks.lower(scb, carry0, jnp.int32(1)).compile()
+    return exe, time.perf_counter() - t0
 
-    def timed_exec(exe):
-        t0 = time.perf_counter()
-        carry, v0, usable, lm_iters = exe(scb, carry0)
-        np.asarray(v0)  # fetch -> hard completion fence
-        return time.perf_counter() - t0, usable, lm_iters
 
-    # min-of-k: individual executions over the axon tunnel can stall for
-    # minutes in the claim path; the minimum is the honest device+dispatch
-    # time.
-    def best_of(exe, k):
+def measure(exe, scb, carry0, iters, repeats):
+    """Execute the dynamic-tick program at n=1 and n=iters; per-tick cost =
+    (t_n - t_1)/(iters - 1), cancelling fixed dispatch/fetch overhead. Only a
+    scalar FETCH is a trustworthy completion fence over the axon tunnel
+    (block_until_ready can return early), and min-of-k filters tunnel stalls."""
+
+    def timed(n):
         best = None
-        for j in range(k):
-            t, usable, lm_iters = timed_exec(exe)
-            log(f"  attempt {j}: {t:.3f}s")
+        for j in range(repeats):
+            t0 = time.perf_counter()
+            carry, v0, usable, lm_iters = exe(scb, carry0, np.int32(n))
+            np.asarray(v0)  # fetch -> hard completion fence
+            t = time.perf_counter() - t0
+            log(f"  n={n} attempt {j}: {t:.3f}s")
             if best is None or t < best[0]:
                 best = (t, usable, lm_iters)
         return best
 
-    t_1, _, _ = best_of(exe1, args.repeats)
-    log(f"1 tick in {t_1:.3f}s; executing {args.iters}-tick program...")
-    if args.profile:
-        import contextlib
-
-        prof_ctx = jax.profiler.trace(args.profile)
-    else:
-        import contextlib
-
-        prof_ctx = contextlib.nullcontext()
-    with prof_ctx:
-        t_n, usable, lm_iters = best_of(exe_n, args.repeats)
-    log(f"{args.iters} ticks in {t_n:.3f}s")
-
+    t_1, _, _ = timed(1)
+    t_n, usable, lm_iters = timed(iters)
     noisy = t_n <= t_1
-    if noisy:
-        # Tunnel stall contaminated the 1-tick time; fall back to the N-tick
-        # total as a conservative LOWER bound on throughput.
-        per_tick = t_n / args.iters
-    else:
-        per_tick = (t_n - t_1) / (args.iters - 1)
-    solves_per_s = batch / per_tick
-    latency_ms = per_tick * 1000.0
+    per_tick = t_n / iters if noisy else (t_n - t_1) / (iters - 1)
+    return per_tick, t_1, t_n, noisy, usable, lm_iters
 
+
+def run_config(name, batch, iters, repeats, profile_dir=None):
+    from nav2_social_mpc_controller_tpu.controller.controller import make_carry
+
+    cfg = get_config(name)
+    n_people = CONFIG_PEOPLE[name]
+    log(f"[{name}] generating scenarios (batch {batch}, {n_people} people)...")
+    scb, batch = make_batch(cfg, batch, n_people)
+    carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(batch))
+    log(f"[{name}] AOT compiling (dynamic tick count)...")
+    exe, compile_s = compile_program(cfg, scb, carry0)
+    log(f"[{name}] compiled in {compile_s:.1f}s; executing...")
+
+    import contextlib
+
+    prof = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    with prof:
+        per_tick, t_1, t_n, noisy, usable, lm_iters = measure(
+            exe, scb, carry0, iters, repeats
+        )
     result = {
         "metric": f"social_mpc_solves_per_s_per_chip_H{cfg.optimizer.control_horizon}_"
-        f"{args.people}agents_{args.config}",
-        "value": round(solves_per_s, 1),
+        f"{n_people}agents_{name}",
+        "value": round(batch / per_tick, 1),
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / 1e4, 3),
+        "vs_baseline": round(batch / per_tick / 1e4, 3),
         "batch": batch,
-        "iters": args.iters,
-        "batch_latency_ms": round(latency_ms, 3),
+        "iters": iters,
+        "batch_latency_ms": round(per_tick * 1000.0, 3),
         "per_solve_latency_us": round(per_tick / batch * 1e6, 3),
         "t_1_tick_s": round(t_1, 3),
         "t_n_ticks_s": round(t_n, 3),
         "noisy_timing_lower_bound": bool(noisy),
-        "compile_s": round(compile_time, 1),
-        "platform": jax.devices()[0].platform,
+        "compile_s": round(compile_s, 1),
         "usable_frac": float(np.mean(np.asarray(usable))),
         "mean_lm_iters": float(np.mean(np.asarray(lm_iters))),
+    }
+    return result, (cfg, exe)
+
+
+def run_latency_curve(name, batches, iters, repeats):
+    """Per-tick latency at several batch sizes (VERDICT r1 item 5): the
+    largest batch whose tick fits the reference's 50 ms / 20 Hz budget is the
+    real-time capacity per chip; beyond it is throughput territory."""
+    from nav2_social_mpc_controller_tpu.controller.controller import make_carry
+
+    cfg = get_config(name)
+    n_people = CONFIG_PEOPLE[name]
+    curve = []
+    for b in batches:
+        scb, b_eff = make_batch(cfg, b, n_people)
+        carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(b_eff))
+        log(f"[curve] batch {b_eff}: compiling...")
+        exe, compile_s = compile_program(cfg, scb, carry0)
+        per_tick, t_1, t_n, noisy, usable, _ = measure(exe, scb, carry0, iters, repeats)
+        curve.append(
+            {
+                "batch": b_eff,
+                "latency_ms": round(per_tick * 1000.0, 3),
+                "solves_per_s": round(b_eff / per_tick, 1),
+                "noisy": bool(noisy),
+                "compile_s": round(compile_s, 1),
+            }
+        )
+        log(f"[curve] batch {b_eff}: {per_tick * 1e3:.2f} ms/tick")
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--config",
+        choices=["social", "obstacle", "omni6", "stress36", "all"],
+        default="all",
+    )
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None, help="capture a jax.profiler trace"
+    )
+    ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
+    ap.add_argument(
+        "--latency-batches",
+        default="256,512,1024,2048,4096",
+        help="comma-separated batch sizes for the latency curve ('' disables)",
+    )
+    args = ap.parse_args()
+    assert args.iters >= 2, "--iters must be >= 2"
+
+    if args.config != "all":
+        result, _ = run_config(
+            args.config, args.batch, args.iters, args.repeats, args.profile
+        )
+        result["platform"] = jax.devices()[0].platform
+        print(json.dumps(result))
+        return
+
+    configs = {}
+    for name in ["obstacle", "social", "omni6", "stress36"]:
+        res, _ = run_config(name, args.batch, args.iters, args.repeats)
+        configs[name] = res
+        log(f"[{name}] {res['value']} solves/s/chip ({res['batch_latency_ms']} ms/tick)")
+
+    curve = []
+    max_rt_batch = 0
+    if args.latency_batches:
+        batches = [int(b) for b in args.latency_batches.split(",") if b]
+        curve = run_latency_curve("social", batches, max(4, args.iters // 2), args.repeats)
+        within = [c["batch"] for c in curve if c["latency_ms"] < 50.0]
+        max_rt_batch = max(within) if within else 0
+
+    head = configs["omni6"]
+    result = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": "solves/s/chip",
+        "vs_baseline": head["vs_baseline"],
+        "platform": jax.devices()[0].platform,
+        "usable_frac": head["usable_frac"],
+        "batch": head["batch"],
+        "batch_latency_ms": head["batch_latency_ms"],
+        "mean_lm_iters": head["mean_lm_iters"],
+        "compile_s": head["compile_s"],
+        "configs": configs,
+        "latency_curve": curve,
+        "max_batch_within_50ms_20hz": max_rt_batch,
     }
     print(json.dumps(result))
 

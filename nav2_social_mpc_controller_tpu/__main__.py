@@ -197,6 +197,83 @@ def cmd_config(args):
     print(json.dumps(dataclasses.asdict(cfg), indent=2))
 
 
+def cmd_multihost(args):
+    """Multi-host campaign runner (BASELINE config 5): scenario fleet over a
+    global batch mesh with warm-start carry + checkpoint/resume.
+
+    Modes:
+      default           real pod — jax.distributed auto-detect, one process
+                        per host (launch this on every host)
+      --processes N     local fake cluster: spawn N coordinated worker
+                        processes x --devices-per-process virtual CPU devices
+      --worker          internal: a spawned fake-cluster worker
+    """
+    from nav2_social_mpc_controller_tpu.runtime import campaign
+
+    tail = [
+        "--config", args.config,
+        "--ticks", str(args.ticks),
+        "--per-device-batch", str(args.per_device_batch),
+        "--people", str(args.people),
+        "--seed", str(args.seed),
+    ]
+    if args.yaml:
+        tail += ["--yaml", args.yaml]
+    if args.checkpoint:
+        tail += ["--checkpoint", args.checkpoint]
+    if args.checkpoint_every:
+        tail += ["--checkpoint-every", str(args.checkpoint_every)]
+    if args.resume:
+        tail += ["--resume"]
+
+    if args.processes and not args.worker:
+        results = campaign.spawn_fake_cluster(
+            tail, args.processes, args.devices_per_process, port=args.port
+        )
+        ok = all(rc == 0 for rc, _ in results)
+        for pid, (rc, out) in enumerate(results):
+            if rc != 0:
+                sys.stderr.write(f"--- worker {pid} (rc {rc}) ---\n{out[-3000:]}\n")
+        # Proc 0 prints the summary JSON as its last line.
+        last = results[0][1].strip().splitlines()[-1] if results[0][1].strip() else "{}"
+        print(last)
+        sys.exit(0 if ok else 1)
+
+    import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.worker:
+        from nav2_social_mpc_controller_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes, args.process_id)
+    elif jax.process_count() == 1 and args.coordinator:
+        from nav2_social_mpc_controller_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes, args.process_id)
+    else:
+        # Real pod: auto-detection via the standard TPU environment.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process fallback (still functional)
+            sys.stderr.write(f"jax.distributed auto-init unavailable ({e}); "
+                             "running single-process\n")
+
+    cfg = _named_config(args.config, args.yaml)
+    summary = campaign.run_campaign(
+        cfg,
+        ticks=args.ticks,
+        per_device_batch=args.per_device_batch,
+        n_people=args.people,
+        seed=args.seed,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        log=lambda m: sys.stderr.write(m + "\n"),
+    )
+    print(json.dumps(summary))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="social-mpc-tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -226,6 +303,24 @@ def main(argv=None):
     p = sub.add_parser("config", help="resolve + dump a config as JSON")
     _add_common(p)
     p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("multihost", help="multi-host scenario campaign (BASELINE config 5)")
+    _add_common(p)
+    p.add_argument("--ticks", type=int, default=10)
+    p.add_argument("--per-device-batch", type=int, default=8)
+    p.add_argument("--checkpoint", default=None, help="carry checkpoint base path")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="ticks between snapshots")
+    p.add_argument("--resume", action="store_true", help="restore carry from --checkpoint")
+    p.add_argument("--processes", type=int, default=0,
+                   help="spawn a local fake cluster of N worker processes")
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--port", type=int, default=12399)
+    p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--num-processes", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--process-id", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--force-cpu", action="store_true", help=argparse.SUPPRESS)
+    p.set_defaults(fn=cmd_multihost)
 
     args = ap.parse_args(argv)
     args.fn(args)

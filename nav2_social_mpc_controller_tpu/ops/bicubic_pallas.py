@@ -96,6 +96,144 @@ def _linearize_kernel(use_bf16: bool, win_t_ref, rows_ref, cols_ref,
         drow_ref[b, :] = jnp.sum(rpg * c_t, axis=0)
         dcol_ref[b, :] = jnp.sum(rg * cp_t, axis=0)
 
+def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_t_ref, rows_ref, cols_ref,
+                   out1_ref, out2_ref):
+    """Lane-packed variant: G scenarios share each 256-lane stencil tile.
+
+    Layout per group (VERDICT r1 item 4 / docs/performance.md): scenario k of
+    the group owns lanes [k*2*s_pad, (k+1)*2*s_pad) — first s_pad lanes carry
+    its sample coords for the VALUE stencil, the next s_pad the SAME coords
+    for the derivative stencil (rows_ref/cols_ref arrive pre-duplicated).
+    The G windows stack on SUBLANES, so ONE (G*W, H) @ (H, 256) MXU dot
+    serves the whole group with every lane and sublane carrying real data;
+    a constant block mask folds the (G*W, 256) product back to (W, 256)
+    per-lane-segment partial products. out1 = val|drow interleaved by lane
+    half-segment; out2 = dcol on the value half (d2f/drdc on the other half,
+    discarded by the caller)."""
+    gb, w, h = win_t_ref.shape  # gb = G * groups_per_block scenarios
+    lanes = 2 * s_pad * g
+    dot_dtype = jnp.bfloat16 if use_bf16 else win_t_ref.dtype
+    groups_per_block = gb // g
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    seg = 2 * s_pad
+    is_deriv = (lane_idx % seg) >= s_pad  # (1, lanes)
+    lane_blk = lane_idx // seg  # (1, lanes) in [0, g)
+
+    for q in range(groups_per_block):
+        rows = rows_ref[q:q + 1, :]  # (1, lanes) duplicated coords
+        cols = cols_ref[q:q + 1, :]
+
+        # Row stencil (H, lanes): value weights on the value half-segment,
+        # derivative weights on the deriv half — one build serves both.
+        i0r = jnp.floor(rows)
+        wts_r, dwts_r = _tap_weights(rows - i0r)
+        i0r = i0r.astype(jnp.int32)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
+        b_st = jnp.zeros((h, lanes), rows.dtype)
+        for d in range(4):
+            idx = jnp.clip(i0r + (d - 1), 0, h - 1)
+            onehot = (iota_r == idx).astype(rows.dtype)
+            b_st = b_st + jnp.where(is_deriv, dwts_r[d], wts_r[d]) * onehot
+
+        # Column stencils (W, lanes): value weights everywhere (val needs
+        # rg*c, drow needs rpg*c); derivative weights for dcol.
+        i0c = jnp.floor(cols)
+        wts_c, dwts_c = _tap_weights(cols - i0c)
+        i0c = i0c.astype(jnp.int32)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
+        c_st = jnp.zeros((w, lanes), cols.dtype)
+        cp_st = jnp.zeros((w, lanes), cols.dtype)
+        for d in range(4):
+            idx = jnp.clip(i0c + (d - 1), 0, w - 1)
+            onehot = (iota_c == idx).astype(cols.dtype)
+            c_st = c_st + wts_c[d] * onehot
+            cp_st = cp_st + dwts_c[d] * onehot
+
+        # (G*W, H) @ (H, lanes) — stacked windows on sublanes.
+        a_stack = win_t_ref[q * g:(q + 1) * g].reshape(g * w, h)
+        res = jnp.dot(
+            a_stack.astype(dot_dtype), b_st.astype(dot_dtype),
+            preferred_element_type=jnp.float32,
+        )  # (G*W, lanes)
+        # Fold: lane segment k only consumes window k's rows.
+        res_g = res.reshape(g, w, lanes)
+        rg = jnp.zeros((w, lanes), res.dtype)
+        for k in range(g):
+            rg = rg + res_g[k] * (lane_blk == k).astype(res.dtype)
+
+        out1_ref[q, :] = jnp.sum(rg * c_st, axis=0)
+        out2_ref[q, :] = jnp.sum(rg * cp_st, axis=0)
+
+
+def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=False):
+    """Lane-packed batched bicubic sample with derivatives: G = 256/(2*ceil32(S))
+    scenarios per 128-lane pair, so the stencil VPU work and the MXU dot run
+    with (near-)full lane occupancy instead of S/128 (~29/128 for the
+    benchmark configs). Same semantics as bicubic_linearize_pallas.
+
+    win: (B, H, W) f32; rowf/colf: (B, S) f32. Returns (val, d_row, d_col).
+    """
+    b, h, w = win.shape
+    s = rowf.shape[1]
+    s_pad = max(32, -(-s // 32) * 32)  # lane half-segment
+    g = max(1, 256 // (2 * s_pad))  # scenarios per group
+    if g < 2:
+        return bicubic_linearize_pallas(win, rowf, colf, use_bf16, interpret)
+    lanes = 2 * s_pad * g  # == 256
+
+    groups_per_block = 8
+    gb = g * groups_per_block  # scenarios per grid step
+    b_pad = -(-b // gb) * gb
+    if s_pad != s:
+        rowf = jnp.pad(rowf, ((0, 0), (0, s_pad - s)))
+        colf = jnp.pad(colf, ((0, 0), (0, s_pad - s)))
+    if b_pad != b:
+        rowf = jnp.pad(rowf, ((0, b_pad - b), (0, 0)))
+        colf = jnp.pad(colf, ((0, b_pad - b), (0, 0)))
+        win = jnp.pad(win, ((0, b_pad - b), (0, 0), (0, 0)))
+
+    # Duplicate each scenario's coords into (value, deriv) half-segments:
+    # (B, s_pad) -> (B/G, G, 2, s_pad) -> (B/G, lanes). Tiny arrays; once per
+    # call (the windows, which dominate traffic, are untouched).
+    def pack(x):
+        xg = x.reshape(b_pad // g, g, 1, s_pad)
+        return jnp.broadcast_to(xg, (b_pad // g, g, 2, s_pad)).reshape(b_pad // g, lanes)
+
+    rows_p = pack(rowf)
+    cols_p = pack(colf)
+
+    win_t = jnp.swapaxes(win, -1, -2)  # (B, W, H)
+    if use_bf16:
+        win_t = win_t.astype(jnp.bfloat16)
+
+    n_groups = b_pad // g
+    out_shape = jax.ShapeDtypeStruct((n_groups, lanes), win.dtype)
+    out1, out2 = pl.pallas_call(
+        functools.partial(_packed_kernel, use_bf16, g, s_pad),
+        out_shape=(out_shape, out_shape),
+        grid=(b_pad // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, w, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(win_t, rows_p, cols_p)
+
+    # Unpack: out1 half-segments are (val, drow); out2's value half is dcol.
+    o1 = out1.reshape(n_groups, g, 2, s_pad)
+    o2 = out2.reshape(n_groups, g, 2, s_pad)
+    val = o1[:, :, 0, :].reshape(b_pad, s_pad)[:b, :s]
+    drow = o1[:, :, 1, :].reshape(b_pad, s_pad)[:b, :s]
+    dcol = o2[:, :, 0, :].reshape(b_pad, s_pad)[:b, :s]
+    return val, drow, dcol
+
+
 def bicubic_linearize_pallas(win, rowf, colf, use_bf16=True, interpret=False):
     """Batched bicubic sample with derivatives.
 

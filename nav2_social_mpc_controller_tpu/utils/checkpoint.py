@@ -22,15 +22,20 @@ except Exception:  # pragma: no cover - environment without orbax
     _HAVE_ORBAX = False
 
 
-def save_carry(path: str, state: Any) -> str:
+def save_carry(path: str, state: Any, use_orbax: bool = True) -> str:
     """Snapshot a pytree of arrays. Returns the path written.
 
     Leaves are stored positionally (leaf_i in flatten order) so restore is
-    exact for any pytree whose structure the caller can rebuild (`like`)."""
+    exact for any pytree whose structure the caller can rebuild (`like`).
+
+    use_orbax=False forces the .npz writer — REQUIRED for per-process
+    host-local snapshots under jax.distributed: orbax's save protocol
+    synchronizes all processes around one global checkpoint directory and
+    deadlocks when each process writes its own path."""
     path = os.path.abspath(path)
     flat, _ = jax.tree.flatten(state)
     payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
-    if _HAVE_ORBAX:
+    if _HAVE_ORBAX and use_orbax:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
         return path

@@ -173,11 +173,13 @@ def _bicubic_linearize_vmap_rule(axis_size, in_batched, grid, rowf, colf):
     )
     if use_pallas:
         # Deferred import: ops/__init__ imports back from this module.
+        # Lane-packed variant: G scenarios share each 128-lane tile (falls
+        # back to the per-scenario kernel when S is too long to pack).
         from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
-            bicubic_linearize_pallas,
+            bicubic_linearize_pallas_packed,
         )
 
-        return bicubic_linearize_pallas(grid, rowf, colf), out_batched
+        return bicubic_linearize_pallas_packed(grid, rowf, colf), out_batched
     gv = grid if g_b else jnp.broadcast_to(grid, (axis_size,) + grid.shape)
     rv = rowf if r_b else jnp.broadcast_to(rowf, (axis_size,) + rowf.shape)
     cv = colf if c_b else jnp.broadcast_to(colf, (axis_size,) + colf.shape)

@@ -624,11 +624,13 @@ def oracle_step(cfg, plan_pts, robot_pose, speed, people_rows, costmap, esdf, me
     return (out_cmds[0][0], 0.0, out_cmds[0][1]), 0, pruned_plan
 
 
-def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol):
+def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol,
+                    return_iters=False):
     """Ceres-style LM trust region with finite-difference Jacobian."""
     u = np.clip(np.array(u0, dtype=np.float64), lower, upper)
     radius = 1e4
     decrease_factor = 2.0
+    iters_run = 0
 
     def cost(uu):
         r = residual_fn(uu)
@@ -646,6 +648,7 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
 
     c = cost(u)
     for _ in range(max_iter):
+        iters_run += 1
         r = residual_fn(u)
         J = jac(u)
         g = J.T @ r
@@ -682,4 +685,6 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
             decrease_factor *= 2
             if radius < 1e-32:
                 break
+    if return_iters:
+        return u, c, iters_run
     return u, c

@@ -59,6 +59,58 @@ def test_pallas_kernel_border_clamp_flat():
     np.testing.assert_allclose(np.asarray(dc), 0.0, atol=1e-5)
 
 
+def test_packed_kernel_matches_xla_stencil_path():
+    """Lane-packed variant (4 scenarios per 128-lane tile): same clamping
+    semantics as the per-scenario kernel, checked over odd batch sizes,
+    non-square windows, and S spanning the 32-lane half-segment boundary."""
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+        bicubic_linearize_pallas_packed,
+    )
+
+    rng = np.random.default_rng(10)
+    for b, s, h, w in [(9, 29, 64, 64), (4, 32, 48, 80), (8, 39, 64, 64), (2, 5, 16, 16)]:
+        grid, rowf, colf = _random_case(rng, b=b, s=s, h=h, w=w, margin=6.0)
+        val, dr, dc = bicubic_linearize_pallas_packed(
+            grid, rowf, colf, use_bf16=False, interpret=True
+        )
+        ev, edr, edc = _xla_reference(grid, rowf, colf)
+        np.testing.assert_allclose(np.asarray(val), ev, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dr), edr, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dc), edc, rtol=1e-5, atol=1e-4)
+
+
+def test_packed_kernel_long_sample_axis_falls_back():
+    """S too long to pack (2*ceil32(S) > 128) must take the per-scenario
+    kernel path and stay correct."""
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+        bicubic_linearize_pallas_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    grid, rowf, colf = _random_case(rng, b=3, s=70, h=40, w=40)
+    val, dr, dc = bicubic_linearize_pallas_packed(
+        grid, rowf, colf, use_bf16=False, interpret=True
+    )
+    ev, edr, edc = _xla_reference(grid, rowf, colf)
+    np.testing.assert_allclose(np.asarray(val), ev, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dr), edr, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dc), edc, rtol=1e-5, atol=1e-4)
+
+
+def test_packed_kernel_border_clamp_flat():
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+        bicubic_linearize_pallas_packed,
+    )
+
+    grid = jnp.broadcast_to(jnp.arange(25, dtype=jnp.float32).reshape(1, 5, 5), (5, 5, 5))
+    rowf = jnp.full((5, 9), 11.0, jnp.float32)
+    colf = jnp.full((5, 9), 11.0, jnp.float32)
+    val, dr, dc = bicubic_linearize_pallas_packed(grid, rowf, colf, use_bf16=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(val), 24.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dc), 0.0, atol=1e-5)
+
+
 def test_custom_vmap_dispatch_unbatched_and_cpu_fallback():
     # On CPU the vmap rule must take the XLA fallback and match per-scenario
     # unbatched calls exactly.
