@@ -213,7 +213,12 @@ def run_latency_curve(name, batches, iters, repeats):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
+    # 1024 is the measured throughput sweet spot: per-solve cost grows with
+    # batch once the iteration working set leaves VMEM (14.5 us at 1024 vs
+    # 18.0 at 2048 / 20.6 at 4096 on v5e), and every config's tick fits the
+    # 50 ms / 20 Hz budget with >2x headroom. 2048 is the largest batch
+    # still inside the budget (see the latency curve).
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(
         "--config",
@@ -226,8 +231,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
     ap.add_argument(
         "--latency-batches",
-        default="256,512,1024,2048,4096",
-        help="comma-separated batch sizes for the latency curve ('' disables)",
+        default="256,2048,4096",
+        help="comma-separated batch sizes for the latency curve ('' disables; "
+        "the --batch point is appended from the social config's own run)",
     )
     args = ap.parse_args()
     assert args.iters >= 2, "--iters must be >= 2"
@@ -249,8 +255,22 @@ def main():
     curve = []
     max_rt_batch = 0
     if args.latency_batches:
-        batches = [int(b) for b in args.latency_batches.split(",") if b]
-        curve = run_latency_curve("social", batches, max(4, args.iters // 2), args.repeats)
+        batches = [
+            int(b) for b in args.latency_batches.split(",") if b and int(b) != args.batch
+        ]
+        curve = run_latency_curve("social", batches, max(4, args.iters // 2), min(args.repeats, 2))
+        # The social config's own run already measured latency at --batch.
+        s = configs["social"]
+        curve.append(
+            {
+                "batch": s["batch"],
+                "latency_ms": s["batch_latency_ms"],
+                "solves_per_s": s["value"],
+                "noisy": s["noisy_timing_lower_bound"],
+                "compile_s": s["compile_s"],
+            }
+        )
+        curve.sort(key=lambda c: c["batch"])
         within = [c["batch"] for c in curve if c["latency_ms"] < 50.0]
         max_rt_batch = max(within) if within else 0
 

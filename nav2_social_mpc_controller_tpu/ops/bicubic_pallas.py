@@ -96,7 +96,7 @@ def _linearize_kernel(use_bf16: bool, win_t_ref, rows_ref, cols_ref,
         drow_ref[b, :] = jnp.sum(rpg * c_t, axis=0)
         dcol_ref[b, :] = jnp.sum(rg * cp_t, axis=0)
 
-def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_t_ref, rows_ref, cols_ref,
+def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_ref,
                    out1_ref, out2_ref):
     """Lane-packed variant: G scenarios share each 256-lane stencil tile.
 
@@ -104,15 +104,16 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_t_ref, rows_ref, cols
     the group owns lanes [k*2*s_pad, (k+1)*2*s_pad) — first s_pad lanes carry
     its sample coords for the VALUE stencil, the next s_pad the SAME coords
     for the derivative stencil (rows_ref/cols_ref arrive pre-duplicated).
-    The G windows stack on SUBLANES, so ONE (G*W, H) @ (H, 256) MXU dot
-    serves the whole group with every lane and sublane carrying real data;
-    a constant block mask folds the (G*W, 256) product back to (W, 256)
-    per-lane-segment partial products. out1 = val|drow interleaved by lane
-    half-segment; out2 = dcol on the value half (d2f/drdc on the other half,
-    discarded by the caller)."""
-    gb, w, h = win_t_ref.shape  # gb = G * groups_per_block scenarios
+    The G windows stack on SUBLANES in their NATURAL (H, W) layout — the MXU
+    dot contracts over W against the COLUMN stencil (value|deriv halves), so
+    no window transpose exists anywhere (the former pre-transpose fusion
+    cost ~3.5 ms/tick at B=4096). A constant block mask folds the
+    (G*H, lanes) product to per-segment (H, lanes) partials; two sublane
+    reductions against the ROW stencils then yield out1 = val|dcol and
+    out2 = drow|(d2f/drdc, discarded)."""
+    gb, h, w = win_ref.shape  # gb = G * groups_per_block scenarios
     lanes = 2 * s_pad * g
-    dot_dtype = jnp.bfloat16 if use_bf16 else win_t_ref.dtype
+    dot_dtype = jnp.bfloat16 if use_bf16 else win_ref.dtype
     groups_per_block = gb // g
 
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
@@ -124,46 +125,46 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_t_ref, rows_ref, cols
         rows = rows_ref[q:q + 1, :]  # (1, lanes) duplicated coords
         cols = cols_ref[q:q + 1, :]
 
-        # Row stencil (H, lanes): value weights on the value half-segment,
-        # derivative weights on the deriv half — one build serves both.
-        i0r = jnp.floor(rows)
-        wts_r, dwts_r = _tap_weights(rows - i0r)
-        i0r = i0r.astype(jnp.int32)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
-        b_st = jnp.zeros((h, lanes), rows.dtype)
-        for d in range(4):
-            idx = jnp.clip(i0r + (d - 1), 0, h - 1)
-            onehot = (iota_r == idx).astype(rows.dtype)
-            b_st = b_st + jnp.where(is_deriv, dwts_r[d], wts_r[d]) * onehot
-
-        # Column stencils (W, lanes): value weights everywhere (val needs
-        # rg*c, drow needs rpg*c); derivative weights for dcol.
+        # Column stencil (W, lanes) for the DOT: value weights on the value
+        # half-segment, derivative weights on the deriv half.
         i0c = jnp.floor(cols)
         wts_c, dwts_c = _tap_weights(cols - i0c)
         i0c = i0c.astype(jnp.int32)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
-        c_st = jnp.zeros((w, lanes), cols.dtype)
-        cp_st = jnp.zeros((w, lanes), cols.dtype)
+        c_big = jnp.zeros((w, lanes), cols.dtype)
         for d in range(4):
             idx = jnp.clip(i0c + (d - 1), 0, w - 1)
             onehot = (iota_c == idx).astype(cols.dtype)
-            c_st = c_st + wts_c[d] * onehot
-            cp_st = cp_st + dwts_c[d] * onehot
+            c_big = c_big + jnp.where(is_deriv, dwts_c[d], wts_c[d]) * onehot
 
-        # (G*W, H) @ (H, lanes) — stacked windows on sublanes.
-        a_stack = win_t_ref[q * g:(q + 1) * g].reshape(g * w, h)
+        # Row stencils (H, lanes) for the REDUCTIONS: value weights (both
+        # halves) and derivative weights (both halves).
+        i0r = jnp.floor(rows)
+        wts_r, dwts_r = _tap_weights(rows - i0r)
+        i0r = i0r.astype(jnp.int32)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
+        r_st = jnp.zeros((h, lanes), rows.dtype)
+        rp_st = jnp.zeros((h, lanes), rows.dtype)
+        for d in range(4):
+            idx = jnp.clip(i0r + (d - 1), 0, h - 1)
+            onehot = (iota_r == idx).astype(rows.dtype)
+            r_st = r_st + wts_r[d] * onehot
+            rp_st = rp_st + dwts_r[d] * onehot
+
+        # (G*H, W) @ (W, lanes) — stacked natural-layout windows on sublanes.
+        a_stack = win_ref[q * g:(q + 1) * g].reshape(g * h, w)
         res = jnp.dot(
-            a_stack.astype(dot_dtype), b_st.astype(dot_dtype),
+            a_stack.astype(dot_dtype), c_big.astype(dot_dtype),
             preferred_element_type=jnp.float32,
-        )  # (G*W, lanes)
+        )  # (G*H, lanes): value half = data@c, deriv half = data@cp
         # Fold: lane segment k only consumes window k's rows.
-        res_g = res.reshape(g, w, lanes)
-        rg = jnp.zeros((w, lanes), res.dtype)
+        res_g = res.reshape(g, h, lanes)
+        gc = jnp.zeros((h, lanes), res.dtype)
         for k in range(g):
-            rg = rg + res_g[k] * (lane_blk == k).astype(res.dtype)
+            gc = gc + res_g[k] * (lane_blk == k).astype(res.dtype)
 
-        out1_ref[q, :] = jnp.sum(rg * c_st, axis=0)
-        out2_ref[q, :] = jnp.sum(rg * cp_st, axis=0)
+        out1_ref[q, :] = jnp.sum(gc * r_st, axis=0)   # val | dcol
+        out2_ref[q, :] = jnp.sum(gc * rp_st, axis=0)  # drow | (drdc)
 
 
 def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=False):
@@ -203,18 +204,20 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=Fa
     rows_p = pack(rowf)
     cols_p = pack(colf)
 
-    win_t = jnp.swapaxes(win, -1, -2)  # (B, W, H)
+    # Natural (B, H, W) layout straight into the kernel — no transpose. The
+    # bf16 cast halves the windows' HBM traffic; inside the LM loop both are
+    # loop-invariant and hoisted by XLA.
     if use_bf16:
-        win_t = win_t.astype(jnp.bfloat16)
+        win = win.astype(jnp.bfloat16)
 
     n_groups = b_pad // g
-    out_shape = jax.ShapeDtypeStruct((n_groups, lanes), win.dtype)
+    out_shape = jax.ShapeDtypeStruct((n_groups, lanes), rowf.dtype)
     out1, out2 = pl.pallas_call(
         functools.partial(_packed_kernel, use_bf16, g, s_pad),
         out_shape=(out_shape, out_shape),
         grid=(b_pad // gb,),
         in_specs=[
-            pl.BlockSpec((gb, w, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -223,14 +226,14 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=Fa
             pl.BlockSpec((groups_per_block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(win_t, rows_p, cols_p)
+    )(win, rows_p, cols_p)
 
-    # Unpack: out1 half-segments are (val, drow); out2's value half is dcol.
+    # Unpack: out1 half-segments are (val, dcol); out2's value half is drow.
     o1 = out1.reshape(n_groups, g, 2, s_pad)
     o2 = out2.reshape(n_groups, g, 2, s_pad)
     val = o1[:, :, 0, :].reshape(b_pad, s_pad)[:b, :s]
-    drow = o1[:, :, 1, :].reshape(b_pad, s_pad)[:b, :s]
-    dcol = o2[:, :, 0, :].reshape(b_pad, s_pad)[:b, :s]
+    dcol = o1[:, :, 1, :].reshape(b_pad, s_pad)[:b, :s]
+    drow = o2[:, :, 0, :].reshape(b_pad, s_pad)[:b, :s]
     return val, drow, dcol
 
 

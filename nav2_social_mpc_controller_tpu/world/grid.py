@@ -257,7 +257,23 @@ def crop_grid_window(data: jnp.ndarray, origin: jnp.ndarray, resolution, center_
     half = window // 2
     start_col = jnp.clip(cell[0] - half, 0, w - window)
     start_row = jnp.clip(cell[1] - half, 0, h - window)
-    win = jax.lax.dynamic_slice(data, (start_row, start_col), (window, window))
+    # One-hot selector matmuls instead of lax.dynamic_slice: a batched
+    # dynamic-slice with per-scenario offsets lowers to ONE slice PER
+    # SCENARIO on TPU (traced: 1.3 us x 4096 = 5.3 ms/tick, 6% of the tick);
+    # the selector dots run batched on the MXU and are exact (0/1 weights).
+    iwin = jnp.arange(window, dtype=jnp.int32)
+    rows_sel = (start_row + iwin[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        data.dtype
+    )  # (window, H)
+    cols_sel = (start_col + iwin[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(
+        data.dtype
+    )  # (window, W)
+    # Precision.HIGHEST: the default TPU matmul truncates f32 operands to
+    # bf16, which would break the crop's bit-exactness for non-integer cost
+    # values; one-hot selection must be a pure copy.
+    hi = jax.lax.Precision.HIGHEST
+    win_rows = jnp.matmul(rows_sel, data, precision=hi)  # (window, W) — MXU
+    win = jnp.einsum("cw,rw->rc", cols_sel, win_rows, precision=hi)  # no transpose op
     shift = jnp.stack([start_col, start_row]).astype(origin.dtype) * resolution
     return win, origin + shift
 
