@@ -126,3 +126,50 @@ def test_curvature_cost_straight_is_zero():
     p3b = jnp.asarray([[1.0, 1.0]])
     r2 = float(critics.curvature_cost(1.0, 0.4, p1, p2, p3b)[0])
     assert r2 > 0.0
+
+
+def test_stepwise_jvp_jacobians_match_autodiff():
+    """The one-reverse-pass custom JVP on the social critics must produce the
+    SAME Jacobian as plain autodiff of the raw impls (the diagonality
+    assumption of critics._stepwise_custom_jvp, checked end-to-end)."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    s, n = 12, 4
+    for trial in range(3):
+        agents = np.asarray(rng.randn(s, n, 6))
+        agents[..., 3] = np.where(rng.rand(s, n) < 0.3, -1.0, 0.5)
+        agents[..., 4] = rng.rand(s, n)
+        agents = jnp.asarray(agents)
+        pose0 = jnp.asarray(rng.randn(3))
+        u = jnp.asarray(rng.randn(s * 5) * 0.5)
+
+        def make(fn_sw, fn_px, fn_aa):
+            def f(uu):
+                z = uu.reshape(s, 5)
+                rp, ry, rvw = z[:, 0:2], z[:, 2], z[:, 3:5]
+                return jnp.concatenate(
+                    [
+                        fn_sw(120.0, rp, ry, rvw, agents),
+                        fn_px(100.0, rp, agents),
+                        fn_aa(40.0, ry, pose0, agents),
+                    ]
+                )
+
+            return f
+
+        f_new = make(critics.social_work_cost, critics.proxemics_cost, critics.agent_angle_cost)
+        f_old = make(critics._social_work_impl, critics._proxemics_impl, critics._agent_angle_impl)
+        np.testing.assert_allclose(f_new(u), f_old(u), rtol=0, atol=0, err_msg=f"trial {trial}")
+        j_new = jax.jacfwd(f_new)(u)
+        j_old = jax.jacfwd(f_old)(u)
+        np.testing.assert_allclose(j_new, j_old, rtol=1e-5, atol=1e-6, err_msg=f"trial {trial}")
+
+    # Shared-arg perturbation falls back to plain jvp (weight gradient).
+    g_new = jax.grad(
+        lambda w: jnp.sum(critics.social_work_cost(w, jnp.ones((s, 2)), jnp.zeros(s), jnp.ones((s, 2)), agents))
+    )(120.0)
+    g_old = jax.grad(
+        lambda w: jnp.sum(critics._social_work_impl(w, jnp.ones((s, 2)), jnp.zeros(s), jnp.ones((s, 2)), agents))
+    )(120.0)
+    np.testing.assert_allclose(g_new, g_old, rtol=1e-6)
