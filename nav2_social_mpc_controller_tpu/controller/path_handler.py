@@ -18,9 +18,21 @@ already in the planning frame — leaving the geometric operations:
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from nav2_social_mpc_controller_tpu.core.types import PathInput
+
+
+def _onehot_rows(src: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[src] as a one-hot matmul: src (K,) int32, table (P, ...) ->
+    (K, ...). A batched fancy-index lowers to a per-row TPU gather (traced
+    at 750 us/tick for the (B, 128, 2) plan window at B=1024); the one-hot
+    dot runs on the MXU and is exact at Precision.HIGHEST (0/1 weights)."""
+    onehot = (src[:, None] == jnp.arange(table.shape[0], dtype=src.dtype)).astype(table.dtype)
+    flat = table.reshape(table.shape[0], -1)
+    out = jnp.matmul(onehot, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((src.shape[0],) + table.shape[1:])
 
 
 class WindowedPlan(NamedTuple):
@@ -57,8 +69,8 @@ def transform_global_plan(
     # Pad tail with the last valid pose so downstream gathers stay safe.
     last_src = jnp.clip(begin + n_new - 1, 0, p - 1)
     src = jnp.where(idx < n_new, src, last_src)
-    new_points = path.points[src]
-    new_yaw = path.yaw[src]
+    new_points = _onehot_rows(src, path.points)
+    new_yaw = _onehot_rows(src, path.yaw)
     return WindowedPlan(
         path=PathInput(points=new_points, yaw=new_yaw, n=n_new),
         start_index=begin.astype(jnp.int32),
@@ -73,4 +85,4 @@ def get_goal_point(path: PathInput, robot_pose: jnp.ndarray, goal_dist: float):
     d = jnp.linalg.norm(path.points - robot_pose[0:2], axis=-1)
     hit = path.valid & (d >= goal_dist)
     first_hit = jnp.where(jnp.any(hit), jnp.min(jnp.where(hit, idx, p)), jnp.clip(path.n - 1, 0, p - 1))
-    return path.points[jnp.clip(first_hit, 0, p - 1)]
+    return _onehot_rows(jnp.clip(first_hit, 0, p - 1)[None], path.points)[0]
