@@ -279,6 +279,7 @@ def optimize(
         robot_desired_vel=cfg.robot_sfm_desired_vel,
         robot_radius=cfg.robot_sfm_radius,
         goal_radius=cfg.goal_radius,
+        esdf_window=cfg.esdf_window_cells,
     )
     people_present = jnp.any(people.valid)
 

@@ -135,6 +135,18 @@ class SocialMPCConfig:
     max_robot_pose_search_dist: float = 4.0
     goal_dist: float = 2.5
 
+    # TPU performance knob (no reference equivalent; 0 = disabled): window
+    # the projection scan's per-step nearest-obstacle lookups to an (n, n)
+    # u8 table cropped once per tick around each agent's starting cell,
+    # replacing a 62 us/step batched ESDF gather with a masked reduce.
+    # EXACT-output requirement (world.grid.crop_esdf_obstacle_window):
+    #   n/2 >= ceil(people_desired_vel * time_step * (max_steps - 1)
+    #               / esdf_resolution) + 1
+    # (= 16 cells for the benchmark configs at resolution 0.05, so 32 is
+    # safe at H=18 and 44 at the H=36 stress horizon). Grids larger than
+    # 256x256 cells fall back to the gather path automatically.
+    esdf_window_cells: int = 0
+
     @property
     def horizon_steps(self) -> int:
         """Max rollout steps S of the optimization problem.
@@ -210,6 +222,7 @@ def benchmark_social_config(**overrides) -> SocialMPCConfig:
     (params/soc_work_obst_parameters_in_benchmark.yaml:106-137), inlined."""
     base = dict(
         desired_linear_vel=0.5,
+        esdf_window_cells=32,
         trajectorizer=TrajectorizerConfig(
             omnidirectional=False,
             desired_linear_vel=0.6,
@@ -264,6 +277,7 @@ def benchmark_stress_h36_config(**overrides) -> SocialMPCConfig:
     cfg = benchmark_social_config(**overrides)
     return dataclasses.replace(
         cfg,
+        esdf_window_cells=44,  # 39 scan steps -> 19.5-cell drift bound
         trajectorizer=dataclasses.replace(cfg.trajectorizer, max_time=2.0),
         optimizer=dataclasses.replace(cfg.optimizer, control_horizon=36),
     )

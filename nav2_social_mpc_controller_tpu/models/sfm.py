@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from nav2_social_mpc_controller_tpu.utils.angles import wrap_to_pi
-from nav2_social_mpc_controller_tpu.world.grid import esdf_nearest_obstacle_diff
+from nav2_social_mpc_controller_tpu.world.grid import (
+    crop_esdf_obstacle_window,
+    esdf_nearest_obstacle_diff,
+    esdf_nearest_obstacle_diff_windowed,
+)
 
 _EPS_DIR = 1e-6  # coincident-position guard (social_work_cost_function.hpp:124-127)
 
@@ -223,6 +227,7 @@ def project_people(
     robot_desired_vel: float = 0.6,
     robot_radius: float = 0.5,
     goal_radius: float = 0.25,
+    esdf_window: int = 0,
 ):
     """SFM forward simulation of pedestrians along the robot's reference path
     (Optimizer::project_people, optimizer.cpp:554-671).
@@ -244,9 +249,35 @@ def project_people(
     # Constant-velocity-model goal (optimizer.cpp:587-591)
     goal0 = pos0 + maxtime * vel0
 
-    obs_entry0, obs_in0 = esdf_nearest_obstacle_diff(
-        esdf_distances, esdf_indexes, esdf_origin, esdf_resolution, pos0
+    # Per-step nearest-obstacle lookup: windowed masked-reduce when the
+    # config enables it and the grid fits the u8/f32 exactness bounds (see
+    # crop_esdf_obstacle_window), else the plain gather.
+    grid_h, grid_w = esdf_distances.shape[-2], esdf_distances.shape[-1]
+    use_window = (
+        esdf_window > 0
+        and esdf_window <= min(grid_h, grid_w)
+        and grid_h <= 256
+        and grid_w <= 256
+        and grid_h * grid_w < 2**24
     )
+    if use_window:
+        ox_u8, oy_u8, w_col, w_row = crop_esdf_obstacle_window(
+            esdf_indexes, pos0, esdf_origin, esdf_resolution, esdf_window
+        )
+
+        def obstacle_lookup(query_xy):
+            return esdf_nearest_obstacle_diff_windowed(
+                ox_u8, oy_u8, w_col, w_row, (grid_h, grid_w),
+                esdf_origin, esdf_resolution, esdf_window, query_xy,
+            )
+    else:
+
+        def obstacle_lookup(query_xy):
+            return esdf_nearest_obstacle_diff(
+                esdf_distances, esdf_indexes, esdf_origin, esdf_resolution, query_xy
+            )
+
+    obs_entry0, obs_in0 = obstacle_lookup(pos0)
 
     # Robot goal: LAST VALID row of the (truncated) robot path
     # (optimizer.cpp:625: robot_path.back()).
@@ -283,9 +314,7 @@ def project_people(
         )
 
         # Refresh obstacles from the NEW positions (optimizer.cpp:641-645)
-        obs_entry_n, obs_in_n = esdf_nearest_obstacle_diff(
-            esdf_distances, esdf_indexes, esdf_origin, esdf_resolution, pos_n
-        )
+        obs_entry_n, obs_in_n = obstacle_lookup(pos_n)
         obs_has_n = obs_in_n & esdf_valid
 
         # Freeze invalid agents / steps beyond the robot path

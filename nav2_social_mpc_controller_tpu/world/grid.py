@@ -318,3 +318,80 @@ def esdf_nearest_obstacle_diff(distances, indexes, origin, resolution, point_xy)
     ob_x = (ob_idx % w).astype(point_xy.dtype)
     obstacle = jnp.stack([ob_x, ob_y], axis=-1) * resolution + origin
     return point_xy - obstacle, in_bounds
+
+
+def crop_esdf_obstacle_window(indexes, centers_xy, origin, resolution, window: int):
+    """Per-agent one-hot crop of the nearest-obstacle index grid into u8
+    obstacle-cell-coordinate tables for the projection scan's lookups.
+
+    The SFM projection (models.sfm.project_people) refreshes each agent's
+    nearest obstacle EVERY scan step (optimizer.cpp:641-645); a batched
+    `indexes[yc, xc]` lowers to a 62 us TPU gather per step (~12% of the
+    6-agent tick at B=1024). Agents move at most desired_vel*dt per step
+    (updatePosition clamps speed, sfm.hpp:533-540), so every query over the
+    horizon stays within a static window of the agent's STARTING cell; this
+    crops that window ONCE per tick with exact one-hot selector matmuls,
+    after which the per-step lookup is a masked reduce over u8 planes
+    (window^2 * 1 byte per agent) instead of a gather.
+
+    EXACT-output requirement (mirrors OptimizerConfig.obstacle_window_cells):
+      window/2 >= ceil(people_desired_vel * time_step * (S-1) / resolution) + 1
+    and the grid must satisfy h, w <= 256 (u8 cell coords) and h*w < 2^24
+    (f32-exact flat indices). crop callers fall back to the gather path
+    otherwise.
+
+    indexes: (H, W) int32; centers_xy: (N, 2) world points.
+    Returns (ox_u8 (N, window^2), oy_u8 (N, window^2),
+             start_col (N,) int32, start_row (N,) int32).
+    """
+    h, w = indexes.shape[-2], indexes.shape[-1]
+    cell = jnp.floor((centers_xy - origin) / resolution).astype(jnp.int32)  # (N, 2)
+    half = window // 2
+    start_col = jnp.clip(cell[:, 0] - half, 0, w - window)
+    start_row = jnp.clip(cell[:, 1] - half, 0, h - window)
+
+    iwin = jnp.arange(window, dtype=jnp.int32)
+    rows_sel = (
+        start_row[:, None, None] + iwin[None, :, None] == jnp.arange(h, dtype=jnp.int32)
+    ).astype(jnp.float32)  # (N, window, H)
+    cols_sel = (
+        start_col[:, None, None] + iwin[None, :, None] == jnp.arange(w, dtype=jnp.int32)
+    ).astype(jnp.float32)  # (N, window, W)
+
+    # Flat indices fit f32 exactly for h*w < 2^24; one-hot dots are copies.
+    idxf = jnp.clip(indexes, 0, h * w - 1).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    win_rows = jnp.einsum("krh,hw->krw", rows_sel, idxf, precision=hi)  # (N, window, W)
+    win = jnp.einsum("kcw,krw->krc", cols_sel, win_rows, precision=hi)  # (N, window, window)
+
+    idx_i = win.astype(jnp.int32).reshape(win.shape[0], -1)  # (N, window^2)
+    oy = (idx_i // w).astype(jnp.uint8)
+    ox = (idx_i % w).astype(jnp.uint8)
+    return ox, oy, start_col, start_row
+
+
+def esdf_nearest_obstacle_diff_windowed(
+    ox_u8, oy_u8, start_col, start_row, grid_hw, origin, resolution, window: int, point_xy
+):
+    """Windowed equivalent of esdf_nearest_obstacle_diff: same math, with the
+    per-step gather replaced by a masked max-reduce over the u8 tables from
+    crop_esdf_obstacle_window. Exact whenever the query stays inside its
+    agent's window (see the sizing rule there).
+
+    point_xy: (N, 2) — one query per agent/window row.
+    Returns (diff (N, 2), in_bounds (N,) bool).
+    """
+    h, w = grid_hw
+    cell = jnp.floor((point_xy - origin) / resolution).astype(jnp.int32)
+    xcell, ycell = cell[..., 0], cell[..., 1]
+    in_bounds = (xcell >= 0) & (xcell < w) & (ycell >= 0) & (ycell < h)
+    wx = jnp.clip(jnp.clip(xcell, 0, w - 1) - start_col, 0, window - 1)
+    wy = jnp.clip(jnp.clip(ycell, 0, h - 1) - start_row, 0, window - 1)
+    flat = wy * window + wx  # (N,)
+    mask = flat[:, None] == jnp.arange(window * window, dtype=flat.dtype)  # (N, window^2)
+    zero = jnp.zeros((), jnp.uint8)
+    # The mask selects exactly one element, so max == the selected value.
+    ob_x = jnp.max(jnp.where(mask, ox_u8, zero), axis=-1).astype(point_xy.dtype)
+    ob_y = jnp.max(jnp.where(mask, oy_u8, zero), axis=-1).astype(point_xy.dtype)
+    obstacle = jnp.stack([ob_x, ob_y], axis=-1) * resolution + origin
+    return point_xy - obstacle, in_bounds

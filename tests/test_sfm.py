@@ -102,3 +102,36 @@ def test_group_repulsion_activates_when_close():
     assert f[0][0] < 0.0
     assert f[1][0] > 0.0
     np.testing.assert_allclose(f[2], 0.0, atol=1e-12)
+
+
+def test_project_people_windowed_lookup_exact():
+    """esdf_window > 0 must be bit-identical to the gather path: the u8
+    window tables are an exact re-encoding whenever agents stay within the
+    sizing rule of world.grid.crop_esdf_obstacle_window."""
+    rng = np.random.RandomState(3)
+    h = w = 120
+    res = 0.05  # weak python float: no dtype promotion
+    origin = jnp.asarray([0.0, 0.0], jnp.float32)
+    indexes = jnp.asarray(rng.randint(0, h * w, size=(h, w)), dtype=jnp.int32)
+    distances = jnp.asarray(rng.rand(h, w), dtype=jnp.float32)
+
+    n, s1 = 6, 30
+    people = np.zeros((n, 6), np.float32)
+    people[:, 0:2] = 1.0 + rng.rand(n, 2) * 4.0  # inside the 6 m grid
+    people[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    people[:, 3] = np.where(rng.rand(n) < 0.3, -1.0, 0.0)
+    people[:, 4] = rng.rand(n) * 0.6
+    traj = np.zeros((s1, 6), np.float32)
+    traj[:, 0] = np.linspace(1.0, 2.2, s1)
+    traj[:, 1] = 3.0
+    traj[:, 4] = 0.5
+
+    kw = dict(maxtime=1.5, dt=0.05, people_desired_vel=0.5, people_radius=0.5,
+              robot_desired_vel=0.6, robot_radius=0.5, goal_radius=0.25)
+    out_gather = sfm.project_people(
+        jnp.asarray(people), jnp.asarray(traj), jnp.asarray(s1, jnp.int32),
+        distances, indexes, origin, res, jnp.asarray(True), esdf_window=0, **kw)
+    out_window = sfm.project_people(
+        jnp.asarray(people), jnp.asarray(traj), jnp.asarray(s1, jnp.int32),
+        distances, indexes, origin, res, jnp.asarray(True), esdf_window=32, **kw)
+    np.testing.assert_array_equal(np.asarray(out_gather), np.asarray(out_window))
