@@ -72,9 +72,13 @@ def cmd_step(args):
     from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
 
     cfg = _named_config(args.config, args.yaml)
+    if getattr(args, "debug_optimizer", False):
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(cfg.optimizer, debug_optimizer=True)
+        )
     sc = make_scenario(cfg, seed=args.seed, n_valid_people=args.people)
     cmd, aux, _ = make_step(cfg)(sc, make_carry(cfg))
-    print(json.dumps({
+    out = {
         "linear_x": float(cmd.linear_x),
         "linear_y": float(cmd.linear_y),
         "angular_z": float(cmd.angular_z),
@@ -84,7 +88,25 @@ def cmd_step(args):
         "final_cost": float(aux.solve.final_cost),
         "termination": int(aux.solve.termination),
         "usable": bool(aux.solve.usable),
-    }))
+    }
+    if aux.lm_trace is not None:
+        # Ceres PER_MINIMIZER_ITERATION-style rows (optimizer.cpp:122-130)
+        n_it = int(aux.solve.iterations)
+        tr = aux.lm_trace
+        out["iterations"] = [
+            {
+                "iter": i,
+                "cost": float(tr.cost[i]),
+                "cost_change": float(tr.cost_change[i]),
+                "gradient_max": float(tr.grad_max[i]),
+                "step_norm": float(tr.step_norm[i]),
+                "tr_ratio": float(tr.tr_ratio[i]),
+                "tr_radius": float(tr.tr_radius[i]),
+                "accepted": bool(tr.accepted[i]),
+            }
+            for i in range(n_it)
+        ]
+    print(json.dumps(out))
 
 
 def cmd_sim(args):
@@ -281,6 +303,8 @@ def main(argv=None):
 
     p = sub.add_parser("step", help="one controller tick")
     _add_common(p)
+    p.add_argument("--debug-optimizer", action="store_true",
+                   help="per-LM-iteration trace (Ceres PER_MINIMIZER_ITERATION analogue)")
     p.set_defaults(fn=cmd_step)
 
     p = sub.add_parser("sim", help="closed-loop simulation")
@@ -314,7 +338,8 @@ def main(argv=None):
     p.add_argument("--processes", type=int, default=0,
                    help="spawn a local fake cluster of N worker processes")
     p.add_argument("--devices-per-process", type=int, default=4)
-    p.add_argument("--port", type=int, default=12399)
+    p.add_argument("--port", type=int, default=0,
+                   help="coordinator port (0 = pick an ephemeral port)")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     p.add_argument("--num-processes", type=int, default=None, help=argparse.SUPPRESS)

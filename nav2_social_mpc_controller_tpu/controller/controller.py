@@ -180,6 +180,7 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
         status=status,
         solve=res.stats,
         plan_start_index=windowed.start_index,
+        lm_trace=res.lm_trace,
     )
     return cmd, aux, new_carry
 
@@ -209,6 +210,7 @@ class SocialMPCController:
         self._carry = make_carry(cfg)
         self._plan = None
         self._active = False
+        self._windows_validated = False
 
     # Lifecycle (configure happens in __init__)
     def activate(self):
@@ -230,6 +232,20 @@ class SocialMPCController:
         reference's dead-store implementation (social_mpc_controller.cpp:265-285)."""
 
     def compute_velocity_commands(self, scenario: Scenario) -> Tuple[ControlCommand, StepAux]:
+        if not self._windows_validated:
+            # Hard exactness check of the two windowing optimizations against
+            # the actual grid resolutions (core/validate.py) — inside the
+            # jitted step the resolutions are traced and the in-graph
+            # fallback cannot fire, so a misconfigured window must fail HERE
+            # rather than silently corrupt results.
+            from nav2_social_mpc_controller_tpu.core.validate import (
+                validate_scenario_windows,
+            )
+
+            validate_scenario_windows(
+                self.cfg, scenario.costmap.resolution, scenario.esdf.resolution
+            )
+            self._windows_validated = True
         if self._plan is not None:
             scenario = scenario._replace(path=self._plan)
         cmd, aux, self._carry = self._step(scenario, self._carry)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nav2_social_mpc_controller_tpu.core.config import SocialMPCConfig
+from nav2_social_mpc_controller_tpu.core.validate import check_obstacle_window
 from nav2_social_mpc_controller_tpu.core.types import (
     AgentsState,
     ControllerCarry,
@@ -83,6 +84,7 @@ class OptimizeResult(NamedTuple):
     people_proj: jnp.ndarray  # (maxsize, N, 6)
     stats: SolveStats
     u: jnp.ndarray  # (B, 2) optimized decision blocks
+    lm_trace: object = None  # LMTrace when cfg.optimizer.debug_optimizer
 
 
 def format_to_optimize(
@@ -162,14 +164,18 @@ def build_residual_fn(
     # Rolling-window crop around pose_0 (once per tick, outside the LM loop)
     # so the per-iteration obstacle stencil matmuls read a small VMEM-sized
     # window; exact-output sizing rule in OptimizerConfig.obstacle_window_cells.
-    win_data, win_origin = crop_grid_window(
-        costmap.data,
-        costmap.origin,
-        costmap.resolution,
-        rows[0, 0:2],
-        cfg.optimizer.obstacle_window_cells,
-    )
-    costmap = Costmap(data=win_data, origin=win_origin, resolution=costmap.resolution)
+    # When the resolution is concrete (host-side/f64 callers), a window below
+    # the exactness bound falls back to the full grid with a warning; traced
+    # callers are guarded at the host boundary (core/validate.py).
+    if check_obstacle_window(cfg, costmap.resolution):
+        win_data, win_origin = crop_grid_window(
+            costmap.data,
+            costmap.origin,
+            costmap.resolution,
+            rows[0, 0:2],
+            cfg.optimizer.obstacle_window_cells,
+        )
+        costmap = Costmap(data=win_data, origin=win_origin, resolution=costmap.resolution)
     w = cfg.optimizer.weights
     dt = cfg.trajectorizer.time_step
     s = dims.s
@@ -313,7 +319,16 @@ def optimize(
         param_tol=opt.param_tol,
     )
     u0_clipped = jnp.clip(u0.reshape(-1), lower, upper)
-    u_flat, stats = lm_solve(residual_fn, u0_clipped, lower, upper, lm_cfg)
+    # debug_optimizer (optimizer.cpp:122-130): per-iteration (cost, radius,
+    # rho, accepted, ...) trace as a fixed-length aux array.
+    lm_trace = None
+    if opt.debug_optimizer:
+        u_flat, stats, lm_trace = lm_solve(
+            residual_fn, u0_clipped, lower, upper, lm_cfg,
+            trace_len=opt.max_iterations,
+        )
+    else:
+        u_flat, stats = lm_solve(residual_fn, u0_clipped, lower, upper, lm_cfg)
     u = u_flat.reshape(dims.n_blocks, 2)
 
     # Extraction: saving_velocities[j] = block min(j, H-1)//bl for
@@ -332,4 +347,5 @@ def optimize(
         people_proj=people_proj,
         stats=stats,
         u=u,
+        lm_trace=lm_trace,
     )

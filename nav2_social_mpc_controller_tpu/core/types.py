@@ -188,3 +188,6 @@ class StepAux(NamedTuple):
     #   windowing; the reference ERASES the passed poses from its stored plan
     #   (path_handler.cpp:100). Host drivers holding the plan consume this to
     #   shrink their copy across ticks (SocialMPCController.compute_velocity_commands).
+    lm_trace: object = None  # solver.lm.LMTrace per-iteration telemetry when
+    #   optimizer.debug_optimizer is set (Ceres PER_MINIMIZER_ITERATION
+    #   analogue, optimizer.cpp:122-130); None otherwise.

@@ -58,6 +58,38 @@ class SFMParams(NamedTuple):
 DEFAULT_PARAMS = SFMParams()
 
 
+def _esdf_window_exact(window, resolution, people_desired_vel, dt, s_plus_1):
+    """Opportunistic exactness check of the windowed obstacle lookup: agents
+    drift at most people_desired_vel * dt per scan step (speed clamp,
+    sfm.hpp:533-540), so window/2 must cover that drift plus 1 cell of
+    floor() slack. Returns True when the resolution is traced (host
+    boundaries run the hard check, core/validate.py); warns and returns
+    False — falling back to the exact gather — on a concrete violation."""
+    import math
+    import warnings
+
+    import jax as _jax
+
+    if isinstance(resolution, _jax.core.Tracer):
+        return True
+    try:
+        res = float(resolution)
+    except (TypeError, _jax.errors.ConcretizationTypeError):
+        return True
+    if res <= 0.0:
+        return True
+    need = 2 * (math.ceil(people_desired_vel * dt * (s_plus_1 - 1) / res) + 1)
+    if window >= need:
+        return True
+    warnings.warn(
+        f"esdf_window_cells={window} is below the exactness bound {need} at "
+        f"ESDF resolution {res}; falling back to the gather path (exact, "
+        "slower).",
+        stacklevel=3,
+    )
+    return False
+
+
 def _safe_normalize(v, eps=_EPS_DIR):
     """normalize with the critic's coincident guard: a zero-length vector is
     replaced by the fixed small direction (eps, 0)."""
@@ -251,7 +283,10 @@ def project_people(
 
     # Per-step nearest-obstacle lookup: windowed masked-reduce when the
     # config enables it and the grid fits the u8/f32 exactness bounds (see
-    # crop_esdf_obstacle_window), else the plain gather.
+    # crop_esdf_obstacle_window), else the plain gather. A window below the
+    # drift bound for this resolution (checkable only when the resolution is
+    # concrete; host boundaries run the hard check, core/validate.py) also
+    # falls back to the exact gather with a warning.
     grid_h, grid_w = esdf_distances.shape[-2], esdf_distances.shape[-1]
     use_window = (
         esdf_window > 0
@@ -259,6 +294,9 @@ def project_people(
         and grid_h <= 256
         and grid_w <= 256
         and grid_h * grid_w < 2**24
+        and _esdf_window_exact(
+            esdf_window, esdf_resolution, people_desired_vel, dt, s_plus_1
+        )
     )
     if use_window:
         ox_u8, oy_u8, w_col, w_row = crop_esdf_obstacle_window(

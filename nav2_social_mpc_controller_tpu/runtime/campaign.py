@@ -135,19 +135,33 @@ def run_campaign(
     return summary
 
 
+def find_free_port() -> int:
+    """Reserve an ephemeral localhost port (bind-0 trick) for fake-cluster
+    coordinators, so parallel test/CI runs never collide on a fixed port."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def spawn_fake_cluster(
     argv_tail,
     processes: int,
     devices_per_process: int,
-    port: int = 12399,
+    port: int = 0,
     timeout: float = 540.0,
 ):
     """Launch `processes` copies of the CLI in --worker mode on a localhost
     coordinator, each with `devices_per_process` virtual CPU devices (the
     standard JAX fake-cluster technique; SURVEY.md section 4d). Returns the
-    list of (returncode, output) per process."""
+    list of (returncode, output) per process. port=0 picks an ephemeral
+    port."""
     import subprocess
     import sys
+
+    if port == 0:
+        port = find_free_port()
 
     env_base = dict(os.environ)
     env_base.pop("JAX_PLATFORMS", None)

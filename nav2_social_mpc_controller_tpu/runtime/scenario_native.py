@@ -109,6 +109,13 @@ def generate_scenario_batch(
             with_obstacles=with_obstacles,
         )
 
+    # Same windowing-exactness hard check as the NumPy generator
+    # (core/validate.py): fail at scenario-construction time, not silently
+    # inside a jitted batch.
+    from nav2_social_mpc_controller_tpu.core.validate import validate_scenario_windows
+
+    validate_scenario_windows(cfg, resolution, resolution)
+
     h, w = grid_hw
     p = cfg.max_path_points
     n_agents = cfg.n_agents

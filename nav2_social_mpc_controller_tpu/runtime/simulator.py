@@ -23,6 +23,7 @@ from nav2_social_mpc_controller_tpu.core.types import AgentsState, Scenario
 from nav2_social_mpc_controller_tpu.controller.controller import make_carry, step
 from nav2_social_mpc_controller_tpu.models import sfm
 from nav2_social_mpc_controller_tpu.models.motion import integrate_step
+from nav2_social_mpc_controller_tpu.world.grid import esdf_nearest_obstacle_diff
 
 
 class SimResult(NamedTuple):
@@ -35,7 +36,12 @@ class SimResult(NamedTuple):
 
 
 def _advance_people(cfg: SocialMPCConfig, people: AgentsState, robot_pose, robot_speed, esdf, dt):
-    """One SFM step for the simulated pedestrians (robot as social agent)."""
+    """One SFM step for the simulated pedestrians (robot as social agent).
+
+    Pedestrians feel all three forces of the controller's own world model —
+    desired + social + obstacle (sfm.hpp:205-235, 462-485) — so the
+    Gazebo-replacement harness is no more forgiving than the SFM world the
+    controller assumes during people projection (models/sfm.py:299-309)."""
     st = people.state
     valid = people.valid
     pos = st[:, 0:2]
@@ -56,8 +62,14 @@ def _advance_people(cfg: SocialMPCConfig, people: AgentsState, robot_pose, robot
     f_des, _ = sfm.desired_force(
         pos, vel, goal, valid, cfg.goal_radius, desired, sfm.DEFAULT_PARAMS
     )
+    obs_entry, obs_in = esdf_nearest_obstacle_diff(
+        esdf.distances, esdf.indexes, esdf.origin, esdf.resolution, pos
+    )
+    f_obs = sfm.obstacle_force(
+        pos, obs_entry, obs_in & esdf.valid & valid, cfg.people_radius, sfm.DEFAULT_PARAMS
+    )
     pos_n, vel_n, yaw_n, lv_n, av_n, _ = sfm.sfm_update(
-        pos, vel, yaw, f_des + social, desired, goal, valid, cfg.goal_radius, dt
+        pos, vel, yaw, f_des + social + f_obs, desired, goal, valid, cfg.goal_radius, dt
     )
     new = jnp.stack(
         [pos_n[:, 0], pos_n[:, 1], yaw_n, st[:, 3], lv_n, av_n], axis=-1

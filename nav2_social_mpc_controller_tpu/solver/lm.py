@@ -60,6 +60,22 @@ class LMConfig(NamedTuple):
     max_diagonal: float = 1e32
 
 
+class LMTrace(NamedTuple):
+    """Per-iteration solver telemetry, the `debug_optimizer` analogue of
+    Ceres' PER_MINIMIZER_ITERATION logging (optimizer.cpp:122-130): one row
+    per LM iteration, fixed length = max_iterations (rows beyond the executed
+    count stay zero). Enabled via lm_solve(..., trace_len=N) /
+    OptimizerConfig.debug_optimizer."""
+
+    cost: jnp.ndarray  # (T,) cost at iteration start
+    cost_change: jnp.ndarray  # (T,) actual cost change of the trial step
+    grad_max: jnp.ndarray  # (T,) max|J^T r|
+    step_norm: jnp.ndarray  # (T,) ||delta|| of the (projected) trial step
+    tr_ratio: jnp.ndarray  # (T,) rho = actual/model reduction
+    tr_radius: jnp.ndarray  # (T,) trust-region radius at iteration start
+    accepted: jnp.ndarray  # (T,) bool — step accepted
+
+
 class _LMState(NamedTuple):
     u: jnp.ndarray
     cost: jnp.ndarray
@@ -73,6 +89,7 @@ class _LMState(NamedTuple):
     done: jnp.ndarray
     term: jnp.ndarray
     failed: jnp.ndarray
+    trace: LMTrace | None
 
 
 def _solve_damped(jtj, g, diag_clamped, radius, solve_fn):
@@ -101,11 +118,22 @@ def lm_solve(
     upper: jnp.ndarray,
     cfg: LMConfig,
     linear_solve: Callable = default_linear_solve,
+    trace_len: int = 0,
 ):
     """Minimize 0.5 * ||residual_fn(u)||^2 subject to lower <= u <= upper.
 
     u0/lower/upper: flat (D,) decision vectors. residual_fn: (D,) -> (R,).
-    Returns (u_opt (D,), SolveStats). Jittable; vmap for batches.
+    Returns (u_opt (D,), SolveStats), plus an LMTrace of length `trace_len`
+    when trace_len > 0 (the debug_optimizer path — costs one buffer write
+    per iteration, so it is off on the bench path). Jittable; vmap for
+    batches.
+
+    No max_solver_time analogue: Ceres' wall-clock cap
+    (max_solver_time_in_seconds = max_time, optimizer.cpp:131) is a
+    deliberate non-port — at the benchmark settings it could only bind after
+    1.5 s while 40 iterations of this solver cost ~0.5 ms, and a traced
+    while_loop cannot read a wall clock. max_num_iterations is the only
+    binding cap, exactly as in the reference's benchmark runs.
     """
     dtype = u0.dtype
     d = u0.shape[0]
@@ -192,6 +220,25 @@ def lm_solve(
         ).astype(jnp.int32)
         newly_done = numeric_failed | grad_ok | fn_conv | param_conv | radius_dead
 
+        trace = st.trace
+        if trace is not None:
+            at = jnp.clip(st.iters, 0, trace_len - 1)
+
+            def put(buf, v):
+                return buf.at[at].set(jnp.where(active, v.astype(buf.dtype), buf[at]))
+
+            trace = LMTrace(
+                cost=put(trace.cost, st.cost),
+                cost_change=put(trace.cost_change, actual_change),
+                grad_max=put(trace.grad_max, jnp.max(jnp.abs(st.g))),
+                step_norm=put(trace.step_norm, step_norm),
+                tr_ratio=put(trace.tr_ratio, rho),
+                tr_radius=put(trace.tr_radius, st.radius),
+                accepted=trace.accepted.at[at].set(
+                    jnp.where(active, accept, trace.accepted[at])
+                ),
+            )
+
         return _LMState(
             u=u,
             cost=cost,
@@ -203,10 +250,19 @@ def lm_solve(
             done=st.done | newly_done,
             term=jnp.where(st.done, st.term, term),
             failed=st.failed | numeric_failed,
+            trace=trace,
         )
 
     def cond(st: _LMState):
         return (~st.done) & (st.iters < cfg.max_iterations)
+
+    trace0 = None
+    if trace_len > 0:
+        z = jnp.zeros((trace_len,), dtype)
+        trace0 = LMTrace(
+            cost=z, cost_change=z, grad_max=z, step_norm=z, tr_ratio=z,
+            tr_radius=z, accepted=jnp.zeros((trace_len,), bool),
+        )
 
     st0 = _LMState(
         u=u0,
@@ -219,6 +275,7 @@ def lm_solve(
         done=~jnp.isfinite(initial_cost),
         term=jnp.full((), TERM_NO_CONVERGENCE, jnp.int32),
         failed=~jnp.isfinite(initial_cost),
+        trace=trace0,
     )
     st = jax.lax.while_loop(cond, body, st0)
 
@@ -229,4 +286,6 @@ def lm_solve(
         termination=st.term,
         usable=~st.failed,
     )
+    if trace_len > 0:
+        return st.u, stats, st.trace
     return st.u, stats

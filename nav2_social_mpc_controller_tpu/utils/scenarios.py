@@ -135,6 +135,11 @@ def make_scenario(
         else None
     )
     esdf = make_esdf(h, w, obstacle_cells=obs_cells, dtype=dtype)
+    # Windowing-exactness hard check at this host boundary (the jitted step
+    # traces the resolutions and cannot fall back in-graph, core/validate.py).
+    from nav2_social_mpc_controller_tpu.core.validate import validate_scenario_windows
+
+    validate_scenario_windows(cfg, costmap.resolution, esdf.resolution)
     return Scenario(path=path, robot=robot, people=people, costmap=costmap, esdf=esdf)
 
 

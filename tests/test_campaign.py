@@ -8,6 +8,8 @@ import subprocess
 import sys
 
 def _run_campaign(tmp_path, extra):
+    from nav2_social_mpc_controller_tpu.runtime.campaign import find_free_port
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -21,7 +23,7 @@ def _run_campaign(tmp_path, extra):
         "--devices-per-process", "2",
         "--per-device-batch", "2",
         "--people", "2",
-        "--port", "12411",
+        "--port", str(find_free_port()),
         "--checkpoint", str(tmp_path / "carry"),
     ] + extra
     proc = subprocess.run(

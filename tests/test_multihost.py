@@ -48,7 +48,9 @@ print(f"proc {pid} OK n={n}", flush=True)
 
 
 def test_two_process_fake_cluster(tmp_path):
-    port = "12357"
+    from nav2_social_mpc_controller_tpu.runtime.campaign import find_free_port
+
+    port = str(find_free_port())
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

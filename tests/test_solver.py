@@ -96,3 +96,63 @@ def test_nan_residuals_marked_unusable():
         CFG,
     )
     assert not bool(stats.usable)
+
+
+def test_debug_trace_records_iterations():
+    """trace_len > 0 (the debug_optimizer path) records one row per executed
+    iteration: cost[0] == initial cost, accepted steps strictly decrease the
+    cost, rows beyond the executed count stay zero."""
+
+    def resid(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    cfg = LMConfig(max_iterations=50, fn_tol=1e-12, gradient_tol=1e-12, param_tol=1e-14)
+    u, stats, trace = lm_solve(
+        resid, jnp.asarray([-1.2, 1.0]), -INF * jnp.ones(2), INF * jnp.ones(2),
+        cfg, trace_len=50,
+    )
+    n = int(stats.iterations)
+    assert 0 < n <= 50
+    np.testing.assert_allclose(float(trace.cost[0]), float(stats.initial_cost), rtol=1e-12)
+    acc = np.asarray(trace.accepted[:n])
+    assert acc.any()
+    cost = np.asarray(trace.cost[:n])
+    change = np.asarray(trace.cost_change[:n])
+    # On accepted rows the recorded change is positive (cost decreased) and
+    # the tr_ratio cleared min_relative_decrease.
+    assert (change[acc] > 0).all()
+    assert (np.asarray(trace.tr_ratio[:n])[acc] > 1e-3).all()
+    # Cost at the next row equals cost - change for accepted rows.
+    for i in range(n - 1):
+        if acc[i]:
+            np.testing.assert_allclose(cost[i + 1], cost[i] - change[i], rtol=1e-9)
+        else:
+            np.testing.assert_allclose(cost[i + 1], cost[i], rtol=1e-12)
+    # Rows beyond the executed count are untouched.
+    assert (np.asarray(trace.cost[n:]) == 0).all()
+    assert not np.asarray(trace.accepted[n:]).any()
+
+
+def test_debug_trace_through_controller_step():
+    """OptimizerConfig.debug_optimizer=True surfaces the LMTrace in StepAux
+    with fixed (max_iterations,) shape, and does not change the solution."""
+    import dataclasses
+
+    from nav2_social_mpc_controller_tpu.core.config import benchmark_social_config
+    from nav2_social_mpc_controller_tpu.controller.controller import make_carry, make_step
+    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
+
+    cfg0 = benchmark_social_config()
+    cfg1 = dataclasses.replace(
+        cfg0, optimizer=dataclasses.replace(cfg0.optimizer, debug_optimizer=True)
+    )
+    sc = make_scenario(cfg0, seed=0, n_valid_people=3)
+    cmd0, aux0, _ = make_step(cfg0)(sc, make_carry(cfg0))
+    cmd1, aux1, _ = make_step(cfg1)(sc, make_carry(cfg1))
+    assert aux0.lm_trace is None
+    assert aux1.lm_trace is not None
+    assert aux1.lm_trace.cost.shape == (cfg1.optimizer.max_iterations,)
+    np.testing.assert_allclose(float(cmd0.linear_x), float(cmd1.linear_x), rtol=0, atol=0)
+    np.testing.assert_allclose(float(cmd0.angular_z), float(cmd1.angular_z), rtol=0, atol=0)
+    n = int(aux1.solve.iterations)
+    assert np.asarray(aux1.lm_trace.accepted[:n]).any()

@@ -1,0 +1,139 @@
+"""Window-exactness validation (VERDICT r2 weak-item 3): a configured
+obstacle/ESDF window smaller than its reachable-set bound must either raise
+at a host boundary or fall back to the exact unwindowed path with a warning
+— never silently corrupt results."""
+
+import dataclasses
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nav2_social_mpc_controller_tpu.core.config import benchmark_social_config
+from nav2_social_mpc_controller_tpu.core.types import ControllerCarry
+from nav2_social_mpc_controller_tpu.core.validate import (
+    esdf_window_min_cells,
+    obstacle_window_min_cells,
+    validate_scenario_windows,
+)
+from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
+
+
+def _with_windows(cfg, obstacle=None, esdf=None):
+    opt = cfg.optimizer
+    if obstacle is not None:
+        opt = dataclasses.replace(opt, obstacle_window_cells=obstacle)
+    out = dataclasses.replace(cfg, optimizer=opt)
+    if esdf is not None:
+        out = dataclasses.replace(out, esdf_window_cells=esdf)
+    return out
+
+
+def test_benchmark_windows_satisfy_bounds():
+    """The shipped benchmark presets clear their own exactness bounds at the
+    benchmark grid resolution 0.05 (documented on the config fields)."""
+    cfg = benchmark_social_config()
+    assert cfg.optimizer.obstacle_window_cells >= obstacle_window_min_cells(cfg, 0.05)
+    assert cfg.esdf_window_cells >= esdf_window_min_cells(cfg, 0.05)
+
+
+def test_validate_raises_on_small_obstacle_window():
+    cfg = _with_windows(benchmark_social_config(), obstacle=16)
+    with pytest.raises(ValueError, match="obstacle_window_cells"):
+        validate_scenario_windows(cfg, 0.05, 0.05)
+
+
+def test_validate_raises_on_small_esdf_window():
+    cfg = _with_windows(benchmark_social_config(), esdf=8)
+    with pytest.raises(ValueError, match="esdf_window_cells"):
+        validate_scenario_windows(cfg, 0.05, 0.05)
+
+
+def test_validate_passes_when_windows_disabled():
+    cfg = _with_windows(benchmark_social_config(), obstacle=0, esdf=0)
+    validate_scenario_windows(cfg, 0.05, 0.05)
+
+
+def test_scenario_generator_rejects_bad_window():
+    cfg = _with_windows(benchmark_social_config(), obstacle=16)
+    with pytest.raises(ValueError, match="obstacle_window_cells"):
+        make_scenario(cfg, seed=0, n_valid_people=0)
+
+
+def test_coarser_resolution_tightens_nothing():
+    """Coarser cells shrink the bound: the benchmark window must stay valid
+    at any resolution >= the benchmark's."""
+    cfg = benchmark_social_config()
+    assert obstacle_window_min_cells(cfg, 0.1) < obstacle_window_min_cells(cfg, 0.05)
+    assert esdf_window_min_cells(cfg, 0.1) < esdf_window_min_cells(cfg, 0.05)
+
+
+def test_small_obstacle_window_falls_back_exactly():
+    """Concrete (host-side) residual construction with a too-small window
+    warns and produces residuals identical to the unwindowed config."""
+    from nav2_social_mpc_controller_tpu.controller.optimize import (
+        ProblemDims,
+        build_residual_fn,
+        format_to_optimize,
+    )
+    from nav2_social_mpc_controller_tpu.controller.trajectorizer import trajectorize
+
+    cfg_bad = _with_windows(benchmark_social_config(), obstacle=16)
+    cfg_off = _with_windows(benchmark_social_config(), obstacle=0)
+    sc = make_scenario(cfg_off, seed=0, n_valid_people=0, dtype=np.float64)
+    dims = ProblemDims.from_config(cfg_off)
+    traj = trajectorize(cfg_off.trajectorizer, sc.path, jnp.asarray(sc.robot.pose))
+    carry = ControllerCarry(
+        prev_path=jnp.zeros((dims.maxsize, 3), jnp.float64),
+        prev_cmds=jnp.zeros((dims.maxsize, 2), jnp.float64),
+        prev_n=jnp.zeros((), jnp.int32),
+    )
+    rows, n_rows = format_to_optimize(
+        cfg_off, dims, traj.poses, traj.cmds, traj.n_steps,
+        jnp.asarray(sc.robot.speed), carry,
+    )
+    proj = jnp.zeros((dims.maxsize, cfg_off.n_agents, 6), jnp.float64).at[:, :, 3].set(-1.0)
+    present = jnp.asarray(False)
+
+    with pytest.warns(UserWarning, match="obstacle_window_cells"):
+        rfn_bad = build_residual_fn(cfg_bad, dims, rows, n_rows, proj, present, sc.costmap)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rfn_off = build_residual_fn(cfg_off, dims, rows, n_rows, proj, present, sc.costmap)
+
+    u = jnp.asarray(np.linspace(0.1, 0.5, dims.n_blocks * 2))
+    np.testing.assert_array_equal(np.asarray(rfn_bad(u)), np.asarray(rfn_off(u)))
+
+
+def test_small_esdf_window_falls_back_exactly():
+    """project_people with a too-small window warns and matches the gather
+    path bit-for-bit."""
+    from nav2_social_mpc_controller_tpu.models.sfm import project_people
+
+    cfg = _with_windows(benchmark_social_config(), esdf=0)
+    sc = make_scenario(cfg, seed=1, n_valid_people=3, dtype=np.float64)
+    s1 = cfg.trajectorizer.max_steps
+    rows = np.zeros((s1, 6))
+    rows[:, 0] = np.linspace(0.0, 1.0, s1)
+    rows[:, 4] = 0.4
+
+    def run(esdf_window):
+        return project_people(
+            jnp.asarray(sc.people.state, jnp.float64),
+            jnp.asarray(rows),
+            jnp.asarray(s1, jnp.int32),
+            jnp.asarray(sc.esdf.distances, jnp.float64),
+            jnp.asarray(sc.esdf.indexes),
+            jnp.asarray(sc.esdf.origin, jnp.float64),
+            float(sc.esdf.resolution),
+            jnp.asarray(True),
+            maxtime=cfg.trajectorizer.max_time,
+            dt=cfg.trajectorizer.time_step,
+            esdf_window=esdf_window,
+        )
+
+    with pytest.warns(UserWarning, match="esdf_window_cells"):
+        bad = run(8)
+    good = run(0)
+    np.testing.assert_array_equal(np.asarray(bad), np.asarray(good))
