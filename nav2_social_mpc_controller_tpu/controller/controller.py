@@ -94,6 +94,7 @@ def make_carry(cfg: SocialMPCConfig, dtype=jnp.float32) -> ControllerCarry:
         prev_path=jnp.zeros((dims.maxsize, 3), dtype),
         prev_cmds=jnp.zeros((dims.maxsize, 2), dtype),
         prev_n=jnp.zeros((), jnp.int32),
+        plan_start=jnp.zeros((), jnp.int32),
     )
 
 
@@ -109,7 +110,11 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
     size_y = h * scenario.costmap.resolution
     dist_threshold = jnp.maximum(size_x, size_y) / 2.0
     windowed = transform_global_plan(
-        scenario.path, robot_pose, cfg.max_robot_pose_search_dist, dist_threshold
+        scenario.path,
+        robot_pose,
+        cfg.max_robot_pose_search_dist,
+        dist_threshold,
+        start=carry.plan_start,
     )
 
     # --- reference trajectory (path_trajectorizer.cpp:120-288) ---
@@ -160,17 +165,25 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
         prev_path=traj.poses[: dims.maxsize],
         prev_cmds=traj.cmds[: dims.maxsize][:, jnp.array([0, 2])],
         prev_n=seed_n.astype(jnp.int32),
+        plan_start=carry.plan_start,
     )
     need_seed = (carry.prev_n == 0) & traj.ok
     carry_base = jax.tree.map(
         lambda s, c: jnp.where(need_seed, s, c), seeded, carry
     )
     optimized_carry = ControllerCarry(
-        prev_path=res.path, prev_cmds=res.cmds, prev_n=res.n.astype(jnp.int32)
+        prev_path=res.path,
+        prev_cmds=res.cmds,
+        prev_n=res.n.astype(jnp.int32),
+        plan_start=carry.plan_start,
     )
     new_carry = jax.tree.map(
         lambda o, c: jnp.where(use_opt, o, c), optimized_carry, carry_base
     )
+    # The plan-advance cursor moves every tick regardless of solve success —
+    # the reference erases passed poses in transformGlobalPlan, before the
+    # optimizer even runs (path_handler.cpp:100).
+    new_carry = new_carry._replace(plan_start=windowed.start_index)
 
     aux = StepAux(
         local_path=res.path,
@@ -224,8 +237,12 @@ class SocialMPCController:
         self._carry = make_carry(self.cfg)
 
     def set_plan(self, path):
-        """setPlan (social_mpc_controller.cpp:260-263)."""
+        """setPlan (social_mpc_controller.cpp:260-263): installing a new plan
+        replaces the stored one (path_handler.cpp:110-113), so the in-graph
+        plan-advance cursor resets; the warm-start memory persists (the
+        reference's TrajectoryMemory is a process singleton)."""
         self._plan = path
+        self._carry = self._carry._replace(plan_start=jnp.zeros((), jnp.int32))
 
     def set_speed_limit(self, speed_limit: float, percentage: bool):
         """setSpeedLimit — a deliberate no-op, faithfully reproducing the
@@ -249,13 +266,11 @@ class SocialMPCController:
         if self._plan is not None:
             scenario = scenario._replace(path=self._plan)
         cmd, aux, self._carry = self._step(scenario, self._carry)
-        # Prune the passed poses from the stored plan — the reference ERASES
-        # [begin(), transformation_begin) from its plan copy every tick
-        # (path_handler.cpp:100); here the jitted step returns the prune
-        # point and the host shrinks its copy, so the next tick's
-        # max_robot_pose_search_dist window starts from the pruned head.
-        self._plan = prune_plan(
-            scenario.path if self._plan is None else self._plan,
-            int(aux.plan_start_index),
-        )
+        # Plan pruning — the reference ERASES [begin(), transformation_begin)
+        # from its plan copy every tick (path_handler.cpp:100) — happens
+        # IN-GRAPH: the carry's plan_start cursor advanced to
+        # aux.plan_start_index and the next tick's search window starts from
+        # that pruned head. (prune_plan remains available as a host utility
+        # for drivers that physically shrink their plan buffers; such drivers
+        # must then reset the cursor, e.g. via set_plan.)
         return cmd, aux

@@ -296,6 +296,16 @@ def optimize(
     # optim_velocities[block_used] = row-index storage), row 0 being the
     # measured speed.
     u0 = rows[0 : dims.n_blocks, 4:6]
+    if cfg.optimizer.warm_start_mode == "previous_solution":
+        # Framework extension (OptimizerConfig.warm_start_mode): start block
+        # b from the previous tick's own block-b optimum. prev_cmds holds the
+        # block-expanded commands, so the step at each block start carries
+        # that block's value. Static indices -> no hot-path gather.
+        starts = np.minimum(
+            np.arange(dims.n_blocks) * dims.block_length, carry.prev_cmds.shape[0] - 1
+        )
+        u_prev = carry.prev_cmds[starts]  # (B, 2)
+        u0 = jnp.where(carry.prev_n > 0, u_prev, u0)
 
     # Box bounds on the first control_horizon/block_length blocks
     # (optimizer.cpp:373-379, with the dynamic horizon shrink of :248-249);

@@ -45,15 +45,29 @@ def transform_global_plan(
     robot_pose: jnp.ndarray,
     max_robot_pose_search_dist: float,
     dist_threshold: float,
+    start=None,
 ) -> WindowedPlan:
+    """`start` (() int32, default 0) is the cumulative prune cursor: the
+    reference ERASES [begin(), transformation_begin) from its STORED plan
+    every tick (path_handler.cpp:100), so the next tick's integrated-distance
+    search starts from the pruned head. Passing the previous tick's
+    start_index here reproduces that erase in-graph (poses before `start`
+    are unsearchable and the cumulative distance is measured from `start`),
+    which lets batched/scanned fleet drivers advance along long plans without
+    host round-trips. The returned start_index is absolute (cumulative)."""
     p = path.points.shape[0]
     idx = jnp.arange(p)
     valid = path.valid
 
     seg = jnp.linalg.norm(path.points[1:] - path.points[:-1], axis=-1)
     cum = jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
+    if start is None:
+        start = jnp.zeros((), jnp.int32)
+    # Integrated distance measured from the pruned head (one-hot pick — a
+    # dynamic scalar index would lower to a per-scenario gather under vmap):
+    cum0 = jnp.sum(jnp.where(idx == start, cum, 0.0))
     # first_after_integrated_distance: poses searched are [begin, upper_bound)
-    searchable = valid & (cum <= max_robot_pose_search_dist)
+    searchable = valid & (idx >= start) & (cum - cum0 <= max_robot_pose_search_dist)
 
     d_robot = jnp.linalg.norm(path.points - robot_pose[0:2], axis=-1)
     begin = jnp.argmin(jnp.where(searchable, d_robot, jnp.inf))

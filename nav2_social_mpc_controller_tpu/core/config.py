@@ -84,11 +84,34 @@ class OptimizerConfig:
     # crop bit-identical to full-grid sampling including border clamping.
     obstacle_window_cells: int = 0
 
+    # Framework extension (no reference equivalent): how the LM solve is
+    # warm-started on ticks after the first.
+    #   "reference" (default) — exact reference semantics: decision block b
+    #     initializes from optimization ROW b's velocity, i.e. block 0 from
+    #     the measured speed and blocks 1.. from the 0.5/0.5 blend of the
+    #     trajectorizer's step-(b-1) command with the PREVIOUS tick's
+    #     step-(b-1) command (optimizer.cpp:256-260 + format_to_optimize
+    #     :484-551). Note this is NOT the previous solution: rows 1..B-1 all
+    #     lie inside block 0's span, so blocks 1.. restart from the previous
+    #     BLOCK-0 value — the solver re-traverses most of the distance every
+    #     tick (see docs/performance.md, warm-start economics).
+    #   "previous_solution" — initialize block b from the previous tick's
+    #     OWN block-b optimum (carry.prev_cmds[b*block_length]). Converges in
+    #     far fewer LM iterations on warm ticks; final commands may differ
+    #     from the reference wherever the reference's 40-iteration cap binds
+    #     before convergence (the solution is then trajectory-dependent).
+    warm_start_mode: str = "reference"
+
     def __post_init__(self):
         if self.linear_solver_type not in VALID_LINEAR_SOLVER_TYPES:
             raise ValueError(
                 f"Invalid linear_solver_type {self.linear_solver_type!r}. "
                 f"Valid values are {', '.join(VALID_LINEAR_SOLVER_TYPES)}"
+            )
+        if self.warm_start_mode not in ("reference", "previous_solution"):
+            raise ValueError(
+                f"Invalid warm_start_mode {self.warm_start_mode!r}. "
+                "Valid values are 'reference', 'previous_solution'"
             )
 
 

@@ -125,16 +125,24 @@ class Scenario(NamedTuple):
 
 class ControllerCarry(NamedTuple):
     """Warm-start memory carried across ticks (TrajectoryMemory,
-    trajectory_memory.hpp:32-49 + optimizer.cpp:174-186,448-449).
+    trajectory_memory.hpp:32-49 + optimizer.cpp:174-186,448-449), plus the
+    plan-advance cursor (PathHandler's stored-plan erase,
+    path_handler.cpp:100, as an in-graph index so batched/scanned fleets
+    prune without host round-trips).
 
-    prev_path: (S+1, 3) poses [x, y, yaw] of the previous optimized path
-    prev_cmds: (S+1, 2) previous optimized (v, w) commands
-    prev_n:    () int32 valid count; 0 == no previous solution yet
+    prev_path:  (S+1, 3) poses [x, y, yaw] of the previous optimized path
+    prev_cmds:  (S+1, 2) previous optimized (v, w) commands
+    prev_n:     () int32 valid count; 0 == no previous solution yet
+    plan_start: () int32 cumulative prune point into the scenario's plan —
+                the poses the reference would have erased by now. Reset to 0
+                when a new plan is installed (setPlan replaces the stored
+                plan, path_handler.cpp:110-113).
     """
 
     prev_path: jnp.ndarray
     prev_cmds: jnp.ndarray
     prev_n: jnp.ndarray
+    plan_start: jnp.ndarray = np.int32(0)
 
     @staticmethod
     def zero(horizon_steps: int, dtype=jnp.float32) -> "ControllerCarry":
@@ -142,6 +150,7 @@ class ControllerCarry(NamedTuple):
             prev_path=jnp.zeros((horizon_steps + 1, 3), dtype=dtype),
             prev_cmds=jnp.zeros((horizon_steps + 1, 2), dtype=dtype),
             prev_n=jnp.zeros((), dtype=jnp.int32),
+            plan_start=jnp.zeros((), dtype=jnp.int32),
         )
 
 
@@ -184,10 +193,12 @@ class StepAux(NamedTuple):
     people_proj: jnp.ndarray  # (S+1, N, 6) projected people trajectories
     status: jnp.ndarray  # () int32, STATUS_*
     solve: SolveStats
-    plan_start_index: jnp.ndarray  # () int32 — the prune point found by plan
-    #   windowing; the reference ERASES the passed poses from its stored plan
-    #   (path_handler.cpp:100). Host drivers holding the plan consume this to
-    #   shrink their copy across ticks (SocialMPCController.compute_velocity_commands).
+    plan_start_index: jnp.ndarray  # () int32 — the CUMULATIVE prune point
+    #   into the scenario's plan (the poses the reference would have erased
+    #   by now, path_handler.cpp:100). The same value is carried forward as
+    #   ControllerCarry.plan_start, so pruning happens in-graph; hosts that
+    #   physically shrink their plan buffer (prune_plan) must reset the
+    #   cursor when installing the shrunk plan (set_plan does).
     lm_trace: object = None  # solver.lm.LMTrace per-iteration telemetry when
     #   optimizer.debug_optimizer is set (Ceres PER_MINIMIZER_ITERATION
     #   analogue, optimizer.cpp:122-130); None otherwise.

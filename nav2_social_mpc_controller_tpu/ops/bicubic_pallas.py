@@ -98,7 +98,8 @@ def _linearize_kernel(use_bf16: bool, win_t_ref, rows_ref, cols_ref,
 
 def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_ref,
                    out1_ref, out2_ref):
-    """Lane-packed variant: G scenarios share each 256-lane stencil tile.
+    """Lane-packed variant: G scenarios share each stencil tile (lanes =
+    2*s_pad*G).
 
     Layout per group (VERDICT r1 item 4 / docs/performance.md): scenario k of
     the group owns lanes [k*2*s_pad, (k+1)*2*s_pad) — first s_pad lanes carry
@@ -110,7 +111,13 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
     cost ~3.5 ms/tick at B=4096). A constant block mask folds the
     (G*H, lanes) product to per-segment (H, lanes) partials; two sublane
     reductions against the ROW stencils then yield out1 = val|dcol and
-    out2 = drow|(d2f/drdc, discarded)."""
+    out2 = drow|(d2f/drdc, discarded).
+
+    Round-3 tuning (ablation-driven, tools notes in docs/performance.md):
+    iotas and fold masks are hoisted out of the group loop, the one-hot
+    accumulate is a single select per tap (no separate bool->float convert +
+    multiply), and G=2 halves the dot's cross-scenario MAC waste — together
+    325 -> 291 us/call at B=4096 (168 -> 155 at B=1024) on v5e."""
     gb, h, w = win_ref.shape  # gb = G * groups_per_block scenarios
     lanes = 2 * s_pad * g
     dot_dtype = jnp.bfloat16 if use_bf16 else win_ref.dtype
@@ -120,36 +127,43 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
     seg = 2 * s_pad
     is_deriv = (lane_idx % seg) >= s_pad  # (1, lanes)
     lane_blk = lane_idx // seg  # (1, lanes) in [0, g)
+    # Loop-invariant constants, built once per grid step:
+    fold_masks = [(lane_blk == k).astype(jnp.float32) for k in range(g)]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
 
     for q in range(groups_per_block):
         rows = rows_ref[q:q + 1, :]  # (1, lanes) duplicated coords
         cols = cols_ref[q:q + 1, :]
 
         # Column stencil (W, lanes) for the DOT: value weights on the value
-        # half-segment, derivative weights on the deriv half.
+        # half-segment, derivative weights on the deriv half. One select per
+        # tap: where(onehot, weight, 0) fuses the convert+multiply.
         i0c = jnp.floor(cols)
         wts_c, dwts_c = _tap_weights(cols - i0c)
         i0c = i0c.astype(jnp.int32)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
-        c_big = jnp.zeros((w, lanes), cols.dtype)
+        zc = jnp.zeros((w, lanes), cols.dtype)
+        c_big = zc
         for d in range(4):
             idx = jnp.clip(i0c + (d - 1), 0, w - 1)
-            onehot = (iota_c == idx).astype(cols.dtype)
-            c_big = c_big + jnp.where(is_deriv, dwts_c[d], wts_c[d]) * onehot
+            wval = jnp.where(is_deriv, dwts_c[d], wts_c[d])  # (1, lanes)
+            c_big = c_big + jnp.where(
+                iota_c == idx, jnp.broadcast_to(wval, (w, lanes)), zc
+            )
 
         # Row stencils (H, lanes) for the REDUCTIONS: value weights (both
         # halves) and derivative weights (both halves).
         i0r = jnp.floor(rows)
         wts_r, dwts_r = _tap_weights(rows - i0r)
         i0r = i0r.astype(jnp.int32)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
-        r_st = jnp.zeros((h, lanes), rows.dtype)
-        rp_st = jnp.zeros((h, lanes), rows.dtype)
+        zr = jnp.zeros((h, lanes), rows.dtype)
+        r_st = zr
+        rp_st = zr
         for d in range(4):
             idx = jnp.clip(i0r + (d - 1), 0, h - 1)
-            onehot = (iota_r == idx).astype(rows.dtype)
-            r_st = r_st + wts_r[d] * onehot
-            rp_st = rp_st + dwts_r[d] * onehot
+            m = iota_r == idx
+            r_st = r_st + jnp.where(m, jnp.broadcast_to(wts_r[d], (h, lanes)), zr)
+            rp_st = rp_st + jnp.where(m, jnp.broadcast_to(dwts_r[d], (h, lanes)), zr)
 
         # (G*H, W) @ (W, lanes) — stacked natural-layout windows on sublanes.
         a_stack = win_ref[q * g:(q + 1) * g].reshape(g * h, w)
@@ -159,31 +173,34 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
         )  # (G*H, lanes): value half = data@c, deriv half = data@cp
         # Fold: lane segment k only consumes window k's rows.
         res_g = res.reshape(g, h, lanes)
-        gc = jnp.zeros((h, lanes), res.dtype)
-        for k in range(g):
-            gc = gc + res_g[k] * (lane_blk == k).astype(res.dtype)
+        gc = res_g[0] * fold_masks[0]
+        for k in range(1, g):
+            gc = gc + res_g[k] * fold_masks[k]
 
         out1_ref[q, :] = jnp.sum(gc * r_st, axis=0)   # val | dcol
         out2_ref[q, :] = jnp.sum(gc * rp_st, axis=0)  # drow | (drdc)
 
 
 def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=False):
-    """Lane-packed batched bicubic sample with derivatives: G = 256/(2*ceil32(S))
-    scenarios per 128-lane pair, so the stencil VPU work and the MXU dot run
-    with (near-)full lane occupancy instead of S/128 (~29/128 for the
-    benchmark configs). Same semantics as bicubic_linearize_pallas.
+    """Lane-packed batched bicubic sample with derivatives: G = 2 scenarios
+    share each stencil tile (lanes = 4*ceil32(S): 128 for the benchmark
+    configs' S=29, 256 for the H=36 stress config), so the stencil VPU work
+    runs at full lane occupancy instead of S/128 and the stacked dot wastes
+    only 1 in 2 cross-scenario MACs (G=4's full-occupancy 256-lane layout
+    measured SLOWER: the dot discards 3 in 4 MACs). Same semantics as
+    bicubic_linearize_pallas.
 
     win: (B, H, W) f32; rowf/colf: (B, S) f32. Returns (val, d_row, d_col).
     """
     b, h, w = win.shape
     s = rowf.shape[1]
     s_pad = max(32, -(-s // 32) * 32)  # lane half-segment
-    g = max(1, 256 // (2 * s_pad))  # scenarios per group
-    if g < 2:
+    g = 2  # scenarios per group
+    if 2 * s_pad * g > 256:
         return bicubic_linearize_pallas(win, rowf, colf, use_bf16, interpret)
-    lanes = 2 * s_pad * g  # == 256
+    lanes = 2 * s_pad * g
 
-    groups_per_block = 8
+    groups_per_block = 16
     gb = g * groups_per_block  # scenarios per grid step
     b_pad = -(-b // gb) * gb
     if s_pad != s:
