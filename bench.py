@@ -39,7 +39,9 @@ def log(msg):
 CONFIG_PEOPLE = {"social": 3, "obstacle": 0, "omni6": 6, "stress36": 3}
 
 
-def get_config(name):
+def get_config(name, warm_start_mode=None):
+    import dataclasses
+
     from nav2_social_mpc_controller_tpu.core.config import (
         benchmark_obstacle_only_config,
         benchmark_omni_6agents_config,
@@ -47,12 +49,17 @@ def get_config(name):
         benchmark_stress_h36_config,
     )
 
-    return {
+    cfg = {
         "social": benchmark_social_config,
         "obstacle": benchmark_obstacle_only_config,
         "omni6": benchmark_omni_6agents_config,
         "stress36": benchmark_stress_h36_config,
     }[name]()
+    if warm_start_mode:
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(cfg.optimizer, warm_start_mode=warm_start_mode)
+        )
+    return cfg
 
 
 def make_batch(cfg, batch, n_people):
@@ -144,10 +151,10 @@ def measure(exe, scb, carry0, iters, repeats):
     return per_tick, t_1, t_n, noisy, usable, lm_iters
 
 
-def run_config(name, batch, iters, repeats, profile_dir=None):
+def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=None):
     from nav2_social_mpc_controller_tpu.controller.controller import make_carry
 
-    cfg = get_config(name)
+    cfg = get_config(name, warm_start_mode)
     n_people = CONFIG_PEOPLE[name]
     log(f"[{name}] generating scenarios (batch {batch}, {n_people} people)...")
     scb, batch = make_batch(cfg, batch, n_people)
@@ -230,6 +237,14 @@ def main():
     )
     ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
     ap.add_argument(
+        "--warm-start-mode",
+        choices=["reference", "previous_solution"],
+        default=None,
+        help="override OptimizerConfig.warm_start_mode (the headline/default "
+        "run keeps exact reference semantics; 'previous_solution' is the "
+        "opt-in fast mode — see docs/performance.md warm-start economics)",
+    )
+    ap.add_argument(
         "--latency-batches",
         default="256,2048,4096",
         help="comma-separated batch sizes for the latency curve ('' disables; "
@@ -240,7 +255,8 @@ def main():
 
     if args.config != "all":
         result, _ = run_config(
-            args.config, args.batch, args.iters, args.repeats, args.profile
+            args.config, args.batch, args.iters, args.repeats, args.profile,
+            warm_start_mode=args.warm_start_mode,
         )
         result["platform"] = jax.devices()[0].platform
         print(json.dumps(result))

@@ -55,19 +55,22 @@ def test_multi_tick_plan_pruning_long_plan():
     ctrl.set_plan(plan)
 
     pose = np.array([0.0, 0.0, 0.0], np.float32)
-    n_seen = [int(plan.n)]
+    starts = [0]
     for _ in range(6):
         sc_t = sc._replace(
             robot=RobotState(pose=pose, speed=np.array([0.3, 0.0], np.float32))
         )
         cmd, aux = ctrl.compute_velocity_commands(sc_t)
         assert np.isfinite(float(cmd.linear_x))
-        n_seen.append(int(ctrl._plan.n))
+        starts.append(int(aux.plan_start_index))
         # Teleport the robot 1.2 m down the plan to force passed poses.
         pose = pose + np.array([1.2, 0.0, 0.0], np.float32)
 
-    assert n_seen[-1] < n_seen[0], f"stored plan never shrank: {n_seen}"
-    # The pruned head must track the robot: first stored point within the
-    # search distance of the *previous* robot x.
-    head_x = float(ctrl._plan.points[0, 0])
+    # The erase is now the in-graph cursor (ControllerCarry.plan_start): it
+    # must advance monotonically and end well past the stale plan head.
+    assert all(b >= a for a, b in zip(starts, starts[1:])), starts
+    assert starts[-1] > starts[1], f"prune cursor never advanced: {starts}"
+    # The pruned head must track the robot: the plan point at the cursor
+    # lies within the search distance of the *previous* robot x.
+    head_x = float(np.asarray(plan.points)[starts[-1], 0])
     assert head_x > 1.0, f"plan head did not advance: {head_x}"
