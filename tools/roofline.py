@@ -95,20 +95,22 @@ def calibrate(repeats=3):
     t = _bench_loop(lambda a, b, i: jnp.dot(a + i * 0.0, b)[0, 0], (af, af), iters=10, repeats=repeats)
     peaks["mxu_f32_flops"] = 2.0 * n * n * n / t
 
-    # VPU f32: chained FMAs on a VMEM-resident tile (32 FMAs per element per
-    # pass keeps it compute-bound).
+    # VPU f32: a chained NONLINEAR map on a VMEM-resident tile. An affine
+    # chain (y = y*a + b) algebraically collapses in XLA's simplifier and
+    # reads as an impossible peak; the Newton-for-reciprocal map y*(2 - y)
+    # (2 flops/element/step, converges stably to 1) cannot fold.
     m = (512, 512)
     x = jnp.full(m, 1.0000001, jnp.float32)
-    k_fma = 32
+    k_steps = 32
 
     def vpu(x, i):
         y = x + i * 1e-9
-        for _ in range(k_fma):
-            y = y * 1.0000001 + 1e-7
+        for _ in range(k_steps):
+            y = y * (2.0 - y)
         return y[0, 0]
 
     t = _bench_loop(vpu, (x,), iters=200, repeats=repeats)
-    peaks["vpu_f32_flops"] = (2.0 * k_fma + 2.0) * m[0] * m[1] / t
+    peaks["vpu_f32_flops"] = (2.0 * k_steps + 2.0) * m[0] * m[1] / t
 
     # HBM stream: y = x * s reads+writes 2 * size bytes, array >> VMEM.
     big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB

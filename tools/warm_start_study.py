@@ -72,9 +72,9 @@ def build_program(cfg, protocol, batch):
 
         new_pose = jax.vmap(advance)(pose, cmd.linear_x, cmd.linear_y, cmd.angular_z)
         new_speed = jnp.stack([cmd.linear_x, cmd.angular_z], axis=-1)
-        people = jax.vmap(functools.partial(_advance_people, cfg))(
-            scb.people, pose, scb.robot.speed, scb.esdf, cfg.trajectorizer.time_step
-        )
+        people = jax.vmap(
+            functools.partial(_advance_people, cfg), in_axes=(0, 0, 0, 0, None)
+        )(scb.people, pose, scb.robot.speed, scb.esdf, cfg.trajectorizer.time_step)
         scb = scb._replace(
             robot=scb.robot._replace(pose=new_pose, speed=new_speed), people=people
         )
@@ -100,7 +100,12 @@ def main():
     ap.add_argument("--ticks", type=int, default=20)
     ap.add_argument("--json", default=None)
     ap.add_argument("--protocols", default="bench,closedloop")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (iteration counts are "
+                    "platform-independent; only wall-clock needs TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, ".")
     from bench import CONFIG_PEOPLE, get_config, make_batch
@@ -158,6 +163,12 @@ def main():
                   f"{row['d_vx_max']:>9.4f} {row['d_wz_max']:>9.4f}")
 
         warm = rows[1:]
+        # Command-deviation distribution over all warm (tick, lane) samples:
+        # the max alone hides that deviations concentrate in the cap-bound
+        # (non-converged) lanes.
+        dv = np.abs(results["reference"]["vx"][1:] - results["previous_solution"]["vx"][1:])
+        dw = np.abs(results["reference"]["wz"][1:] - results["previous_solution"]["wz"][1:])
+        dmax = np.maximum(dv, dw).reshape(-1)
         proto_summary = dict(
             per_tick=rows,
             warm_ref_mean=float(np.mean([r["ref_mean"] for r in warm])),
@@ -166,6 +177,11 @@ def main():
             warm_prev_max=int(np.max([r["prev_max"] for r in warm])),
             d_vx_max=float(np.max([r["d_vx_max"] for r in warm])),
             d_wz_max=float(np.max([r["d_wz_max"] for r in warm])),
+            d_cmd_p50=float(np.percentile(dmax, 50)),
+            d_cmd_p90=float(np.percentile(dmax, 90)),
+            d_cmd_p99=float(np.percentile(dmax, 99)),
+            d_cmd_frac_within_1e3=float((dmax <= 1e-3).mean()),
+            d_cmd_frac_within_0_05=float((dmax <= 0.05).mean()),
             wall_ref_s=results["reference"]["wall"],
             wall_prev_s=results["previous_solution"]["wall"],
             speedup=results["reference"]["wall"] / results["previous_solution"]["wall"],
@@ -183,8 +199,10 @@ def main():
               f"wall {proto_summary['wall_ref_s']*1e3:.1f} -> "
               f"{proto_summary['wall_prev_s']*1e3:.1f} ms "
               f"({proto_summary['speedup']:.2f}x); "
-              f"max cmd delta vx {proto_summary['d_vx_max']:.4f} "
-              f"wz {proto_summary['d_wz_max']:.4f}")
+              f"cmd delta p50/p90/p99 {proto_summary['d_cmd_p50']:.4f}/"
+              f"{proto_summary['d_cmd_p90']:.4f}/{proto_summary['d_cmd_p99']:.4f} "
+              f"(max vx {proto_summary['d_vx_max']:.4f} wz {proto_summary['d_wz_max']:.4f}; "
+              f"{100*proto_summary['d_cmd_frac_within_1e3']:.1f}% within 1e-3)")
 
     if args.json:
         with open(args.json, "w") as f:
