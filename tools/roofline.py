@@ -10,8 +10,12 @@ ingredients, all measured on the CURRENT backend:
    what a kernel can actually reach and are the honest denominators).
 2. XLA's own per-executable cost model — compiled.cost_analysis() gives
    exact HLO flop and byte counts per stage program (no hand-counted flops).
-3. Measured wall time per stage — the profile_stages protocol (AOT-compiled
-   stage programs, fetch-fenced, min-of-k).
+3. Measured wall time per stage — bench.py's slope protocol: each stage runs
+   inside ONE dynamic-n fori_loop program (every float input nudged by
+   i*1e-30 so nothing hoists, every output leaf reduced into the carry so
+   nothing dead-codes), timed at n=2 and n=N, cost = slope. Single-dispatch
+   timing is unusable on this backend: the axon tunnel's ~25 ms round-trip
+   exceeds the 13 ms tick being measured.
 
 Per stage this yields: measured time, flop/byte counts, the roofline bound
   t_bound = max(bytes / BW_meas, flops / FLOPS_meas)
@@ -42,94 +46,116 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _time_exe(exe, args, repeats=3):
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = exe(*args)
-        # Fetch fence: bench.py found block_until_ready can return early over
-        # the axon tunnel; fetching a scalar cannot.
-        leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf.reshape(-1)[0] if leaf.ndim else leaf)
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _loop_time(fn, args, n1=2, n2=12, repeats=3):
+    """Per-iteration cost of fn via the bench.py slope protocol: ONE dynamic-n
+    fori_loop program (single dispatch per measurement), timed at n1 and n2
+    iterations, cost = (t2 - t1)/(n2 - n1). This cancels the fixed
+    dispatch+fetch round-trip of the axon tunnel (~25 ms on this backend —
+    LARGER than most programs being measured, so single-dispatch timings are
+    pure noise here; the first roofline draft made that mistake and read a
+    13 ms tick as 44 ms and HBM as 17 GB/s).
 
-
-def _bench_loop(fn, args, iters=50, repeats=3):
-    """Time fn in an in-graph fori_loop (amortizes dispatch)."""
+    fn(*args, i) may return any pytree; every leaf is sum-reduced into the
+    loop carry so XLA can neither hoist the body out of the loop (callers
+    make fn i-dependent) nor dead-code-eliminate any output. The extra
+    reduce re-reads each stage's outputs once — accounted as part of the
+    stage, negligible next to the stages' own traffic."""
 
     @jax.jit
-    def loop(*args):
+    def run(n, *args):
         def body(i, acc):
             out = fn(*args, i)
-            return acc + out
+            s = acc
+            for leaf in jax.tree.leaves(out):
+                s = s + jnp.sum(leaf).astype(jnp.float32)
+            return s
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    np.asarray(loop(*args))  # compile + warm
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(loop(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    def timed(n):
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            # Fetch fence: block_until_ready can return early over the axon
+            # tunnel; fetching the scalar cannot.
+            np.asarray(run(np.int32(n), *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    timed(n1)  # compile + warm
+    t1, t2 = timed(n1), timed(n2)
+    if t2 <= t1:  # tunnel noise swamped the loop; report a lower bound
+        return t2 / n2
+    return (t2 - t1) / (n2 - n1)
 
 
 def calibrate(repeats=3):
-    """Measure achievable ceilings on this chip."""
+    """Measure achievable ceilings on this chip (slope protocol throughout)."""
     peaks = {}
-    # MXU bf16: big square matmul, iteration-dependent so nothing hoists.
+    # MXU bf16: big square matmul, i-dependent so nothing hoists out of the
+    # timing loop (i*0 on an int does NOT fold once cast to bf16 at trace
+    # time; keep the add on the f32 accumulator side to be safe).
     n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16)
 
     def mm(a, b, i):
-        out = jnp.dot(a + i.astype(jnp.bfloat16) * 0, b, preferred_element_type=jnp.float32)
-        return out[0, 0]
+        ai = (a.astype(jnp.float32) + i * 1e-30).astype(jnp.bfloat16)
+        out = jnp.dot(ai, b, preferred_element_type=jnp.float32)
+        # Square before the loop's sum-reduce: slicing or summing a plain dot
+        # invites algebraic shortcuts (XLA rewrote dot(...)[0,0] into ONE
+        # row-by-column product and read 3.6 PFLOP/s); sum(out*out) has none.
+        return out * out
 
-    t = _bench_loop(mm, (a, b), iters=20, repeats=repeats)
+    t = _loop_time(mm, (a, b), n1=2, n2=16, repeats=repeats)
     peaks["mxu_bf16_flops"] = 2.0 * n * n * n / t
 
-    # MXU f32 (default-precision f32 matmul path)
+    # MXU f32 at HIGHEST precision (the 6-pass bf16 emulation the framework's
+    # exact one-hot matmuls use). A DEFAULT-precision f32 dot truncates to
+    # bf16 on TPU and measures the same as the bf16 ceiling.
     af = jnp.ones((n, n), jnp.float32)
-    t = _bench_loop(lambda a, b, i: jnp.dot(a + i * 0.0, b)[0, 0], (af, af), iters=10, repeats=repeats)
-    peaks["mxu_f32_flops"] = 2.0 * n * n * n / t
 
-    # VPU f32: a chained NONLINEAR map on a VMEM-resident tile. An affine
-    # chain (y = y*a + b) algebraically collapses in XLA's simplifier and
-    # reads as an impossible peak; the Newton-for-reciprocal map y*(2 - y)
-    # (2 flops/element/step, converges stably to 1) cannot fold.
-    m = (512, 512)
-    x = jnp.full(m, 1.0000001, jnp.float32)
+    def mmf(a, b, i):
+        out = jnp.dot(a + i * 1e-30, b, precision=jax.lax.Precision.HIGHEST)
+        return out * out
+
+    t = _loop_time(mmf, (af, af), n1=2, n2=10, repeats=repeats)
+    peaks["mxu_f32_highest_flops"] = 2.0 * n * n * n / t
+
+    # VPU f32: chained NONLINEAR maps on VMEM-resident tiles. An affine chain
+    # (y = y*a + b) algebraically collapses in XLA's simplifier and reads as
+    # an impossible peak; the Newton-for-reciprocal map y*(2 - y) (2 flops/
+    # element/step, converges stably to 1) cannot fold. FOUR independent
+    # chains fill the VPU pipeline (one chain is latency-bound: each step
+    # depends on the previous).
+    m = (1024, 1024)
+    n_chains = 8
+    xs = tuple(jnp.full(m, 1.0 + 1e-7 * (k + 1), jnp.float32) for k in range(n_chains))
     k_steps = 32
 
-    def vpu(x, i):
-        y = x + i * 1e-9
+    def vpu(*args):
+        *ys, i = args
+        ys = [y + i * 1e-30 for y in ys]
         for _ in range(k_steps):
-            y = y * (2.0 - y)
-        return y[0, 0]
+            ys = [y * (2.0 - y) for y in ys]
+        # Full arrays out (the loop sum-reduces them): slicing here lets XLA
+        # push the slice through the whole elementwise chain to scalar ops.
+        return tuple(ys)
 
-    t = _bench_loop(vpu, (x,), iters=200, repeats=repeats)
-    peaks["vpu_f32_flops"] = (2.0 * k_steps + 2.0) * m[0] * m[1] / t
+    # Long loops: per-iteration deltas of tens of us need n2 in the hundreds
+    # to clear the tunnel's +-3 ms run-to-run jitter.
+    t = _loop_time(vpu, xs, n1=10, n2=400, repeats=repeats)
+    peaks["vpu_f32_flops"] = n_chains * (2.0 * k_steps + 2.0) * m[0] * m[1] / t
 
-    # HBM stream: y = x * s reads+writes 2 * size bytes, array >> VMEM.
+    # HBM stream: fused multiply-reduce over an array >> VMEM — pure-read
+    # traffic of size bytes/iteration at ~0.5 flop/byte (bandwidth-bound).
     big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
 
     def stream(x, i):
-        return (x * (1.0 + i * 1e-9)).sum() * 0.0 + x[0]
+        return jnp.sum(x * (1.0 + i * 1e-9))
 
-    # sum() re-reads; use a store instead: scale into output
-    @jax.jit
-    def scale(x, s):
-        return x * s
-
-    np.asarray(scale(big, 1.0)[0])
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(scale(big, 1.000001)[0])
-        best = min(best, time.perf_counter() - t0)
-    peaks["hbm_stream_bytes"] = 2.0 * big.size * 4 / best
+    t = _loop_time(stream, (big,), n1=5, n2=100, repeats=repeats)
+    peaks["hbm_stream_bytes"] = big.size * 4.0 / t
     return peaks
 
 
@@ -226,6 +252,8 @@ def main():
                     choices=["social", "obstacle", "omni6", "stress36"])
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--loop-iters", type=int, default=10,
+                    help="n2 of the slope protocol (per-stage loop length)")
     ap.add_argument("--calibrate-only", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -247,12 +275,28 @@ def main():
     scb, batch = make_batch(cfg, args.batch, CONFIG_PEOPLE[args.config])
     carry = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(batch))
 
+    def perturbed(fn):
+        """i-dependent variant: nudge every float leaf by i*1e-30 (numerically
+        identity in f32; fuses into each leaf's first consumer) so XLA cannot
+        hoist any part of the stage out of the timing loop."""
+
+        def wrapped(*fa):
+            *fargs, i = fa
+            fargs = jax.tree.map(
+                lambda x: x + i * 1e-30 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                tuple(fargs),
+            )
+            return fn(*fargs)
+
+        return wrapped
+
     rows = []
     mean_iters = None
     for name, fn, fargs, unit in stage_programs(cfg, scb, carry, batch):
         exe = jax.jit(fn).lower(*fargs).compile()
         flops, bytes_ = _cost(exe)
-        t = _time_exe(exe, fargs, repeats=args.repeats)
+        t = _loop_time(perturbed(fn), fargs, n1=2, n2=args.loop_iters,
+                       repeats=args.repeats)
         if name == "lm_solve_full":
             out = exe(*fargs)
             mean_iters = float(np.mean(np.asarray(out[1].iterations)))
