@@ -268,6 +268,21 @@ def main():
         configs[name] = res
         log(f"[{name}] {res['value']} solves/s/chip ({res['batch_latency_ms']} ms/tick)")
 
+    # Opt-in fast mode, measured under the same protocol and reported as a
+    # clearly-labeled EXTRA entry (never the headline: the headline keeps
+    # exact reference warm-start semantics — docs/performance.md, warm-start
+    # economics). previous_solution warm starts cut the batched LM loop's
+    # E[max iters] ceiling from the 40-cap to ~15 on warm ticks.
+    res_fast, _ = run_config(
+        "social", args.batch, args.iters, args.repeats,
+        warm_start_mode="previous_solution",
+    )
+    res_fast["metric"] += "_warmstart_previous_solution"
+    configs["social_fast_warmstart"] = res_fast
+    log(f"[social fast-warmstart] {res_fast['value']} solves/s/chip "
+        f"({res_fast['batch_latency_ms']} ms/tick, "
+        f"mean iters {res_fast['mean_lm_iters']:.1f})")
+
     curve = []
     max_rt_batch = 0
     if args.latency_batches:
