@@ -66,18 +66,21 @@ def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.n
     """
     v_seq = expand_blocks(u, block_idx)  # (S, 2)
 
-    def step(pose, vw):
-        x, y, th = pose
-        x = x + vw[0] * jnp.cos(th) * dt
-        y = y + vw[0] * jnp.sin(th) * dt
-        th = th + vw[1] * dt
-        nxt = jnp.stack([x, y, th])
-        return nxt, nxt
-
-    # Partially unrolled: the horizon is short (<= ~40 steps) and each step
-    # is a handful of FLOPs, so per-iteration loop overhead dominates on TPU;
-    # full unrolling explodes compile time under jacfwd, 8 is the sweet spot.
-    _, traj = jax.lax.scan(step, pose0, v_seq, unroll=8)
+    # The unicycle recurrence is a PREFIX SUM, not a true recurrence: theta
+    # is linear in the controls (theta_k = theta_0 + dt * sum w_j), and each
+    # position step reads theta BEFORE its own update, so
+    #   x_k = x_0 + dt * cumsum(v * cos(theta_{k-1}))   (same for y).
+    # Three cumsums replace the sequential lax.scan the first formulation
+    # used — which lowered to a while loop costing ~11 us per LM iteration
+    # TWICE (primal + linearize tangent replay) at B=1024 on v5e. cumsum
+    # reassociates additions vs the sequential scan (~1e-7 relative in f32);
+    # parity suites compare in f64 at >=1e-8 tolerances, unaffected.
+    th0 = pose0[2]
+    th = th0 + dt * jnp.cumsum(v_seq[:, 1])  # theta after step k
+    th_prev = jnp.concatenate([th0[None], th[:-1]])  # theta read by step k
+    x = pose0[0] + dt * jnp.cumsum(v_seq[:, 0] * jnp.cos(th_prev))
+    y = pose0[1] + dt * jnp.cumsum(v_seq[:, 0] * jnp.sin(th_prev))
+    traj = jnp.stack([x, y, th], axis=-1)
     return jnp.concatenate([pose0[None, :], traj], axis=0)
 
 

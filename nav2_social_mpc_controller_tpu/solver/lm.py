@@ -145,8 +145,20 @@ def lm_solve(
         y, f_lin = jax.linearize(residual_fn, u)
         j_rows = jax.vmap(f_lin)(jnp.eye(d, dtype=u.dtype))  # (D, R)
         cost = 0.5 * jnp.sum(y * y)
-        g = j_rows @ y
-        jtj = j_rows @ j_rows.T
+        # Raised precision on the normal-equation contractions: at DEFAULT,
+        # TPU truncates these f32 dots to bf16, so the trust-region system
+        # would be formed at ~3 decimal digits ON TPU while CPU (where every
+        # parity suite runs) forms it in exact f32 — a silent cross-backend
+        # semantic divergence. At the benchmark D=6, HIGHEST also measured
+        # FASTER end-to-end (+5% at B=1024 on v5e, 94.0k vs 89.5k solves/s):
+        # it removes the f32->bf16 convert+relayout copy the MXU path inserts
+        # per LM iteration, which costs more than the (D, R) x (R, D)
+        # contraction itself. At D=12 (H=36 stress config) the 6-pass
+        # emulation outweighs the saved copy (54.8k vs 59.6k), so wide
+        # problems use HIGH (bf16_3x, ~f32 fidelity, 58.0k).
+        hi = jax.lax.Precision.HIGHEST if d <= 8 else jax.lax.Precision.HIGH
+        g = jnp.matmul(j_rows, y, precision=hi)
+        jtj = jnp.matmul(j_rows, j_rows.T, precision=hi)
         return cost, g, jtj
 
     initial_cost, g0, jtj0 = value_grad(u0)
