@@ -321,7 +321,25 @@ def main():
         "latency_curve": curve,
         "max_batch_within_50ms_20hz": max_rt_batch,
     }
-    print(json.dumps(result))
+    # Full detail goes to a file; stdout's FINAL line is a compact headline the
+    # driver can capture whole even if it keeps only the tail (the r02/r03
+    # artifacts recorded parsed=null and lost the obstacle entry to tail
+    # truncation — VERDICT r3 weak item 2).
+    with open("bench_results.json", "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": "solves/s/chip",
+        "vs_baseline": head["vs_baseline"],
+        "platform": result["platform"],
+        "usable_frac": head["usable_frac"],
+        "batch": head["batch"],
+        "configs": {k: v["value"] for k, v in configs.items()},
+        "max_batch_within_50ms_20hz": max_rt_batch,
+        "detail": "bench_results.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

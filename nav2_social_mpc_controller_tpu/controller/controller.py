@@ -203,13 +203,42 @@ def make_step(cfg: SocialMPCConfig):
     return jax.jit(functools.partial(step, cfg))
 
 
-def make_step_batch(cfg: SocialMPCConfig):
+def make_step_batch(cfg: SocialMPCConfig, validate: bool = True):
     """Jitted batched step: scenario/carry pytrees with a leading batch axis.
 
     This is the TPU workhorse — the reference solves ONE problem per 50 ms
     tick on CPU; here a whole scenario batch solves per dispatch
-    (SURVEY.md 'the single number that shapes everything')."""
-    return jax.jit(jax.vmap(functools.partial(step, cfg)))
+    (SURVEY.md 'the single number that shapes everything').
+
+    The returned callable checks the windowing-exactness bounds
+    (core/validate.py) against the ACTUAL grid resolutions at the call
+    boundary, where they are concrete — inside the trace they are abstract
+    and the in-graph fallback cannot fire, so a hand-built batch with a
+    too-small obstacle/ESDF window must fail loudly HERE. The check runs
+    once per distinct resolution buffer (identity-cached): steady-state
+    ticks that reuse scenario buffers pay nothing. ``validate=False`` opts
+    out for callers that validated at construction (the built-in generators
+    already do)."""
+    fn = jax.jit(jax.vmap(functools.partial(step, cfg)))
+    if not validate:
+        return fn
+
+    from nav2_social_mpc_controller_tpu.core.validate import validate_batch_windows
+
+    seen = set()
+
+    @functools.wraps(fn)
+    def checked(scenario, carry):
+        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
+        if key not in seen:
+            validate_batch_windows(cfg, scenario)
+            seen.add(key)
+            if len(seen) > 1024:  # bound the id cache for long campaigns
+                seen.clear()
+                seen.add(key)
+        return fn(scenario, carry)
+
+    return checked
 
 
 class SocialMPCController:

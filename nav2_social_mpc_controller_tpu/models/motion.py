@@ -45,13 +45,18 @@ def block_index_sequence_dynamic(n_steps: int, control_horizon, block_length):
 
 
 def expand_blocks(u: jnp.ndarray, block_idx) -> jnp.ndarray:
-    """Per-step controls u[block_idx] as a one-hot matmul: (S, B) @ (B, 2).
+    """Per-step controls u[block_idx] as a one-hot product: (S, B) x (B, 2).
 
     A batched gather from the tiny (B, 2) decision buffer lowers near-scalar
-    on TPU and sits inside every LM residual evaluation; the one-hot product
-    is exact and fuses into vector ops."""
-    onehot = (jnp.asarray(block_idx)[:, None] == jnp.arange(u.shape[0])).astype(u.dtype)
-    return onehot @ u
+    on TPU and sits inside every LM residual evaluation. Broadcast-multiply-
+    reduce (NOT a matmul): at DEFAULT precision a TPU matmul truncates its
+    f32 operands to bf16, which QUANTIZED every expanded control — the round-4
+    on-chip parity study caught published commands at exactly bf16(u), e.g.
+    v = 0.6015625 > the 0.6 bound. The where/sum form is an exact copy and
+    fuses into vector ops; at B <= 7 it is also cheaper than a 6-pass
+    HIGHEST-precision dot."""
+    onehot = jnp.asarray(block_idx)[:, None] == jnp.arange(u.shape[0])
+    return jnp.sum(jnp.where(onehot[..., None], u[None, :, :], 0.0), axis=1)
 
 
 def rollout_poses(pose0: jnp.ndarray, u: jnp.ndarray, dt: float, block_idx: np.ndarray):

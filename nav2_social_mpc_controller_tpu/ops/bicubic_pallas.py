@@ -89,6 +89,8 @@ def _linearize_kernel(use_bf16: bool, win_t_ref, rows_ref, cols_ref,
             win_t_ref[b].astype(dot_dtype),
             both.astype(dot_dtype),
             preferred_element_type=jnp.float32,
+            # Mosaic's f32 dot truncates to bf16 unless told otherwise.
+            precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
         )  # (W, 2S)
         rg = res[:, :s]
         rpg = res[:, s:]
@@ -170,6 +172,8 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
         res = jnp.dot(
             a_stack.astype(dot_dtype), c_big.astype(dot_dtype),
             preferred_element_type=jnp.float32,
+            # Mosaic's f32 dot truncates to bf16 unless told otherwise.
+            precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
         )  # (G*H, lanes): value half = data@c, deriv half = data@cp
         # Fold: lane segment k only consumes window k's rows.
         res_g = res.reshape(g, h, lanes)
@@ -181,7 +185,7 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
         out2_ref[q, :] = jnp.sum(gc * rp_st, axis=0)  # drow | (drdc)
 
 
-def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=False):
+def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=False):
     """Lane-packed batched bicubic sample with derivatives: G = 2 scenarios
     share each stencil tile (lanes = 4*ceil32(S): 128 for the benchmark
     configs' S=29, 256 for the H=36 stress config), so the stencil VPU work
@@ -221,9 +225,12 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=Fa
     rows_p = pack(rowf)
     cols_p = pack(colf)
 
-    # Natural (B, H, W) layout straight into the kernel — no transpose. The
-    # bf16 cast halves the windows' HBM traffic; inside the LM loop both are
-    # loop-invariant and hoisted by XLA.
+    # Natural (B, H, W) layout straight into the kernel — no transpose.
+    # use_bf16 is OFF by default since round 4: the f32 HIGHEST-precision dot
+    # measured FASTER than the bf16 path (651 vs 823 us/call at B=1024 —
+    # the cast/relayout outweighs the halved window traffic) and is exact to
+    # 1.7e-7 vs the f64 stencil; bf16 rounded the Catmull-Rom weights to
+    # ~3e-3 relative (caught by the round-4 on-chip parity study).
     if use_bf16:
         win = win.astype(jnp.bfloat16)
 
@@ -254,7 +261,7 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=True, interpret=Fa
     return val, drow, dcol
 
 
-def bicubic_linearize_pallas(win, rowf, colf, use_bf16=True, interpret=False):
+def bicubic_linearize_pallas(win, rowf, colf, use_bf16=False, interpret=False):
     """Batched bicubic sample with derivatives.
 
     win: (B, H, W) f32; rowf/colf: (B, S) f32.

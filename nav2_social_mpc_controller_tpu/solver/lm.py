@@ -58,6 +58,16 @@ class LMConfig(NamedTuple):
     min_radius: float = 1e-32
     min_diagonal: float = 1e-6
     max_diagonal: float = 1e32
+    # Ceres' default Jacobi column scaling (trust_region_minimizer.cc):
+    # s_i = 1/(1 + ||J col_i|| at iteration 0), frozen; the LM step is
+    # computed on the column-scaled system and mapped back delta = S delta'.
+    # With Marquardt damping D = diag(J^T J) this is an exact no-op whenever
+    # the [min_diagonal, max_diagonal] clamp does not bind in either space
+    # (S^{-1} clamp(S^2 diag) S^{-1} = diag) — measured at the benchmark
+    # magnitudes by tools/jacobi_scaling_study.py (see docs/performance.md),
+    # which is why the production default stays False: same trajectories,
+    # three fewer per-iteration ops in the while-loop body.
+    jacobi_scaling: bool = False
 
 
 class LMTrace(NamedTuple):
@@ -111,6 +121,39 @@ def default_linear_solve(a, b):
     return spd_solve(a, b)
 
 
+def make_value_grad(residual_fn: Callable, d: int):
+    """value_grad(u) -> (cost, g = J^T r, JtJ = J^T J) via jax.linearize:
+    one primal pass + one d-wide linear tangent pass, reduced immediately so
+    the full (R, d) Jacobian is never carried in the solver loop. This is
+    the REFERENCE implementation; ops/fused_iter.py provides a semantically
+    identical fused path for batched TPU execution."""
+
+    def value_grad(u):
+        y, f_lin = jax.linearize(residual_fn, u)
+        j_rows = jax.vmap(f_lin)(jnp.eye(d, dtype=u.dtype))  # (d, R)
+        cost = 0.5 * jnp.sum(y * y)
+        # Raised precision on the normal-equation contractions: at DEFAULT,
+        # TPU truncates these f32 dots to bf16, so the trust-region system
+        # would be formed at ~3 decimal digits ON TPU while CPU (where every
+        # parity suite runs) forms it in exact f32 — a silent cross-backend
+        # semantic divergence. At the benchmark D=6, HIGHEST also measured
+        # FASTER end-to-end (+5% at B=1024 on v5e, 94.0k vs 89.5k solves/s):
+        # it removes the f32->bf16 convert+relayout copy the MXU path inserts
+        # per LM iteration, which costs more than the (D, R) x (R, D)
+        # contraction itself. At D=12 (H=36 stress config) the 6-pass
+        # emulation outweighs the saved copy (54.8k vs 59.6k), so wide
+        # problems use HIGH (bf16_3x, ~f32 fidelity, 58.0k). The rho
+        # contractions in the loop body carry the same raised precision; the
+        # damped-solve internals (Pallas lane Cholesky) are explicit f32
+        # lane arithmetic, so no bf16 truncation hides there either.
+        hi = jax.lax.Precision.HIGHEST if d <= 8 else jax.lax.Precision.HIGH
+        g = jnp.matmul(j_rows, y, precision=hi)
+        jtj = jnp.matmul(j_rows, j_rows.T, precision=hi)
+        return cost, g, jtj
+
+    return value_grad
+
+
 def lm_solve(
     residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     u0: jnp.ndarray,
@@ -119,6 +162,7 @@ def lm_solve(
     cfg: LMConfig,
     linear_solve: Callable = default_linear_solve,
     trace_len: int = 0,
+    value_grad_fn: Callable = None,
 ):
     """Minimize 0.5 * ||residual_fn(u)||^2 subject to lower <= u <= upper.
 
@@ -138,30 +182,17 @@ def lm_solve(
     dtype = u0.dtype
     d = u0.shape[0]
 
-    def value_grad(u):
-        """One primal pass + one D-wide linear tangent pass (jax.linearize),
-        reduced immediately to (cost, g = J^T r, JtJ = J^T J) so the full
-        (R, D) Jacobian is never materialized in the loop carry."""
-        y, f_lin = jax.linearize(residual_fn, u)
-        j_rows = jax.vmap(f_lin)(jnp.eye(d, dtype=u.dtype))  # (D, R)
-        cost = 0.5 * jnp.sum(y * y)
-        # Raised precision on the normal-equation contractions: at DEFAULT,
-        # TPU truncates these f32 dots to bf16, so the trust-region system
-        # would be formed at ~3 decimal digits ON TPU while CPU (where every
-        # parity suite runs) forms it in exact f32 — a silent cross-backend
-        # semantic divergence. At the benchmark D=6, HIGHEST also measured
-        # FASTER end-to-end (+5% at B=1024 on v5e, 94.0k vs 89.5k solves/s):
-        # it removes the f32->bf16 convert+relayout copy the MXU path inserts
-        # per LM iteration, which costs more than the (D, R) x (R, D)
-        # contraction itself. At D=12 (H=36 stress config) the 6-pass
-        # emulation outweighs the saved copy (54.8k vs 59.6k), so wide
-        # problems use HIGH (bf16_3x, ~f32 fidelity, 58.0k).
-        hi = jax.lax.Precision.HIGHEST if d <= 8 else jax.lax.Precision.HIGH
-        g = jnp.matmul(j_rows, y, precision=hi)
-        jtj = jnp.matmul(j_rows, j_rows.T, precision=hi)
-        return cost, g, jtj
+    value_grad = value_grad_fn if value_grad_fn is not None else make_value_grad(residual_fn, d)
 
     initial_cost, g0, jtj0 = value_grad(u0)
+
+    # Jacobi scale frozen at iteration 0, as Ceres does: ||J col_i||^2 at u0
+    # is diag(J^T J at u0).
+    jac_scale = (
+        1.0 / (1.0 + jnp.sqrt(jnp.maximum(jnp.diagonal(jtj0), 0.0)))
+        if cfg.jacobi_scaling
+        else None
+    )
 
     def body(st: _LMState) -> _LMState:
         g = st.g
@@ -169,15 +200,30 @@ def lm_solve(
 
         grad_ok = jnp.max(jnp.abs(g)) <= cfg.gradient_tol
 
-        diag = jnp.clip(jnp.diagonal(jtj), cfg.min_diagonal, cfg.max_diagonal)
-        delta = _solve_damped(jtj, g, diag, st.radius, linear_solve)
+        if cfg.jacobi_scaling:
+            # Solve the column-scaled damped system; map the step back.
+            jtj_s = jtj * (jac_scale[:, None] * jac_scale[None, :])
+            diag = jnp.clip(jnp.diagonal(jtj_s), cfg.min_diagonal, cfg.max_diagonal)
+            delta = jac_scale * _solve_damped(
+                jtj_s, jac_scale * g, diag, st.radius, linear_solve
+            )
+        else:
+            diag = jnp.clip(jnp.diagonal(jtj), cfg.min_diagonal, cfg.max_diagonal)
+            delta = _solve_damped(jtj, g, diag, st.radius, linear_solve)
 
         # Project trial point onto the box; the projected delta defines both
         # the candidate and the model cost (constrained trust region).
         u_new = jnp.clip(st.u + delta, lower, upper)
         delta = u_new - st.u
 
-        model_change = -(delta @ g) - 0.5 * (delta @ (jtj @ delta))
+        # Same raised precision as the normal-equation formation (value_grad):
+        # rho's numerator/denominator decide accept/reject, so a bf16-truncated
+        # model_change would still diverge from the CPU parity suites. These
+        # are (D,)-dot-(D,) contractions — cost is negligible at any precision.
+        hi = jax.lax.Precision.HIGHEST
+        model_change = -jnp.vdot(delta, g, precision=hi) - 0.5 * jnp.vdot(
+            delta, jnp.matmul(jtj, delta, precision=hi), precision=hi
+        )
         new_cost, g_new, jtj_new = value_grad(u_new)
         actual_change = st.cost - new_cost
 

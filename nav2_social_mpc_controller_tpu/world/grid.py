@@ -108,11 +108,14 @@ def _stencil_matrices(coord: jnp.ndarray, n: int, with_deriv: bool):
         i0[..., None].astype(jnp.int32) + jnp.arange(-1, 3, dtype=jnp.int32), 0, n - 1
     )  # (S, 4)
     iota = jnp.arange(n, dtype=jnp.int32)
-    onehot = (idx[..., None] == iota).astype(coord.dtype)  # (S, 4, n)
-    t = jnp.einsum("sd,sdn->sn", wts, onehot)
+    onehot = idx[..., None] == iota  # (S, 4, n) bool
+    # where/sum, not an einsum: a DEFAULT-precision TPU contraction would
+    # round the Catmull-Rom weights to bf16 inside the stencil matrix
+    # (round-4 on-chip parity study; same class of bug as expand_blocks).
+    t = jnp.sum(jnp.where(onehot, wts[..., None], 0.0), axis=-2)
     if not with_deriv:
         return t, None
-    return t, jnp.einsum("sd,sdn->sn", dwts, onehot)
+    return t, jnp.sum(jnp.where(onehot, dwts[..., None], 0.0), axis=-2)
 
 
 def _bicubic_flat(grid, rowf, colf):
@@ -120,7 +123,10 @@ def _bicubic_flat(grid, rowf, colf):
     h, w = grid.shape[-2], grid.shape[-1]
     r_mat, _ = _stencil_matrices(rowf, h, with_deriv=False)  # (S, H)
     c_mat, _ = _stencil_matrices(colf, w, with_deriv=False)  # (S, W)
-    rg = r_mat @ grid  # (S, W) — MXU
+    # HIGHEST: a DEFAULT TPU matmul truncates the f32 spline weights (and
+    # any non-integer grid values) to bf16 — measured as ~0.4%-relative
+    # obstacle-residual error on chip (round-4 on-chip parity study).
+    rg = jnp.matmul(r_mat, grid, precision=jax.lax.Precision.HIGHEST)  # (S, W)
     return jnp.sum(rg * c_mat, axis=-1)
 
 
@@ -137,7 +143,8 @@ def _bicubic_flat_with_grads(grid, rowf, colf):
     # row-major batched matmul (~0.45 ms/iter at B=4096 on v5e).
     both_r = jnp.concatenate([r_mat, rp_mat], axis=0)
     both_r, c_mat, cp_mat = jax.lax.optimization_barrier((both_r, c_mat, cp_mat))
-    both = both_r @ grid  # (2S, W)
+    # HIGHEST for the same exactness reason as _bicubic_flat.
+    both = jnp.matmul(both_r, grid, precision=jax.lax.Precision.HIGHEST)  # (2S, W)
     s = rowf.shape[0]
     rg, rpg = both[:s], both[s:]
     val = jnp.sum(rg * c_mat, axis=-1)
@@ -212,7 +219,8 @@ def _bicubic_jvp(primals, tangents):
         h, w = grid.shape[-2], grid.shape[-1]
         r_mat, _ = _stencil_matrices(rowf, h, with_deriv=False)
         c_mat, _ = _stencil_matrices(colf, w, with_deriv=False)
-        dval = dval + jnp.sum((r_mat @ dgrid) * c_mat, axis=-1)
+        rdg = jnp.matmul(r_mat, dgrid, precision=jax.lax.Precision.HIGHEST)
+        dval = dval + jnp.sum(rdg * c_mat, axis=-1)
     return val, dval
 
 

@@ -625,12 +625,25 @@ def oracle_step(cfg, plan_pts, robot_pose, speed, people_rows, costmap, esdf, me
 
 
 def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol,
-                    return_iters=False):
-    """Ceres-style LM trust region with finite-difference Jacobian."""
+                    return_iters=False, jacobi_scaling=False):
+    """Ceres-style LM trust region with finite-difference Jacobian.
+
+    jacobi_scaling replicates Ceres' default column scaling
+    (trust_region_minimizer.cc EvaluateGradientAndJacobian): at iteration 0
+    compute s_i = 1/(1 + ||J col_i||) and FREEZE it; every iteration scale
+    the Jacobian columns (J_hat = J S), compute the LM step in scaled space,
+    and map back delta = S delta_hat. The gradient-tolerance check uses the
+    UNSCALED gradient (Ceres evaluates it before scaling). With Marquardt
+    damping D = diag(J^T J) this is provably a no-op whenever the
+    [1e-6, 1e32] diagonal clamp does not bind — S^{-1} clamp(S^2 diag) S^{-1}
+    = diag — which tools/jacobi_scaling_study.py verifies numerically at the
+    benchmark magnitudes; the flag exists to measure that claim, not because
+    the trajectories differ."""
     u = np.clip(np.array(u0, dtype=np.float64), lower, upper)
     radius = 1e4
     decrease_factor = 2.0
     iters_run = 0
+    scale = None
 
     def cost(uu):
         r = residual_fn(uu)
@@ -654,15 +667,30 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
         g = J.T @ r
         if np.max(np.abs(g)) <= grad_tol:
             break
-        jtj = J.T @ J
-        diag = np.clip(np.diag(jtj), 1e-6, 1e32)
-        A = jtj + np.diag(diag / radius)
-        try:
-            delta = np.linalg.solve(A, -g)
-        except np.linalg.LinAlgError:
-            radius /= decrease_factor
-            decrease_factor *= 2
-            continue
+        if jacobi_scaling and scale is None:
+            scale = 1.0 / (1.0 + np.linalg.norm(J, axis=0))
+        if jacobi_scaling:
+            Js = J * scale  # column scaling: J @ diag(scale)
+            jtj_s = Js.T @ Js
+            diag = np.clip(np.diag(jtj_s), 1e-6, 1e32)
+            A = jtj_s + np.diag(diag / radius)
+            try:
+                delta = scale * np.linalg.solve(A, -(scale * g))
+            except np.linalg.LinAlgError:
+                radius /= decrease_factor
+                decrease_factor *= 2
+                continue
+            jtj = J.T @ J  # unscaled, for the (equivalent) model-cost below
+        else:
+            jtj = J.T @ J
+            diag = np.clip(np.diag(jtj), 1e-6, 1e32)
+            A = jtj + np.diag(diag / radius)
+            try:
+                delta = np.linalg.solve(A, -g)
+            except np.linalg.LinAlgError:
+                radius /= decrease_factor
+                decrease_factor *= 2
+                continue
         u_new = np.clip(u + delta, lower, upper)
         delta = u_new - u
         model_change = -(delta @ g) - 0.5 * delta @ (jtj @ delta)

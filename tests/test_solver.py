@@ -59,6 +59,32 @@ def test_rosenbrock():
     assert float(stats.final_cost) < 1e-12
 
 
+def test_jacobi_scaling_is_a_noop_when_clamp_does_not_bind():
+    """Ceres' default column scaling (jacobi_scaling=True) with Marquardt
+    damping D = diag(J^T J) maps the scaled damped system back to the exact
+    unscaled system whenever the [min_diagonal, max_diagonal] clamp does not
+    bind (S^{-1} clamp(S^2 diag) S^{-1} = diag). Pin the invariance on a
+    badly column-scaled nonlinear problem (column norms 1 vs 1e3) — full
+    measurement across the benchmark corpus in tools/jacobi_scaling_study.py
+    (JACOBI_SCALING_r04.json: zero iteration mismatches, deltas <= 1.4e-10)."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(12, 4)) * np.array([1.0, 1e3, 1.0, 1e3]))
+    b = jnp.asarray(rng.normal(size=(12,)))
+
+    def resid(x):
+        return a @ x - b + 0.05 * jnp.sin(x).sum()
+
+    out = {}
+    for js in (False, True):
+        cfg = CFG._replace(jacobi_scaling=js)
+        u, stats = lm_solve(
+            resid, jnp.zeros(4), -INF * jnp.ones(4), INF * jnp.ones(4), cfg
+        )
+        out[js] = (np.asarray(u), int(stats.iterations))
+    assert out[False][1] == out[True][1]
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=0, atol=1e-9)
+
+
 def test_max_iterations_respected():
     cfg = LMConfig(max_iterations=3, fn_tol=0.0, gradient_tol=0.0, param_tol=0.0)
 

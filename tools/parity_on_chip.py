@@ -64,6 +64,7 @@ def main():
     from nav2_social_mpc_controller_tpu.core.types import RobotState
     from nav2_social_mpc_controller_tpu.controller.controller import make_carry, make_step
     from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
+    from nav2_social_mpc_controller_tpu.solver import lm
     from parity import oracle
 
     configs = {
@@ -135,8 +136,11 @@ def main():
                         status_match=int(aux.status) == o_status,
                         prune_match=int(aux.plan_start_index) == n0 - len(plan_pts),
                         fw_iters=int(aux.solve.iterations),
-                        capped=int(aux.solve.iterations)
-                        >= cfg.optimizer.max_iterations,
+                        # Cap-bound = solver termination code says it ran out
+                        # of iterations (TERM_NO_CONVERGENCE), not an
+                        # iteration-count heuristic: a lane converging exactly
+                        # on the final iteration is converged, not capped.
+                        capped=int(aux.solve.termination) == lm.TERM_NO_CONVERGENCE,
                     )
                 )
         done = [r for r in rows if r["config"] == name]

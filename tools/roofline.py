@@ -100,7 +100,12 @@ def calibrate(repeats=3):
     b = jnp.ones((n, n), jnp.bfloat16)
 
     def mm(a, b, i):
-        ai = (a.astype(jnp.float32) + i * 1e-30).astype(jnp.bfloat16)
+        # Perturb ONE row only: upcasting/downcasting the full 4096x4096
+        # operand each iteration added hundreds of MB of HBM traffic per
+        # ~137 GFLOP dot and biased the measured ceiling low (~82% of
+        # nominal). The single-row epilogue is <0.1% of the dot's bytes.
+        row = (a[0].astype(jnp.float32) + i * 1e-30).astype(jnp.bfloat16)
+        ai = a.at[0].set(row)
         out = jnp.dot(ai, b, preferred_element_type=jnp.float32)
         # Square before the loop's sum-reduce: slicing or summing a plain dot
         # invites algebraic shortcuts (XLA rewrote dot(...)[0,0] into ONE
@@ -125,7 +130,7 @@ def calibrate(repeats=3):
     # VPU f32: chained NONLINEAR maps on VMEM-resident tiles. An affine chain
     # (y = y*a + b) algebraically collapses in XLA's simplifier and reads as
     # an impossible peak; the Newton-for-reciprocal map y*(2 - y) (2 flops/
-    # element/step, converges stably to 1) cannot fold. FOUR independent
+    # element/step, converges stably to 1) cannot fold. n_chains independent
     # chains fill the VPU pipeline (one chain is latency-bound: each step
     # depends on the previous).
     m = (1024, 1024)
