@@ -45,6 +45,7 @@ from nav2_social_mpc_controller_tpu.models.motion import (
     rollout_poses,
 )
 from nav2_social_mpc_controller_tpu.models.sfm import project_people
+from nav2_social_mpc_controller_tpu.ops import fused_iter
 from nav2_social_mpc_controller_tpu.solver.lm import LMConfig, lm_solve
 from nav2_social_mpc_controller_tpu.world.grid import crop_grid_window
 
@@ -329,16 +330,30 @@ def optimize(
         param_tol=opt.param_tol,
     )
     u0_clipped = jnp.clip(u0.reshape(-1), lower, upper)
+
+    # Fused LM iteration (ops/fused_iter.py): analytic residual+Jacobian ->
+    # (cost, g, JtJ) with a Pallas kernel on the batched f32 TPU path; the
+    # custom_vmap op keeps THIS path (linearize over residual_fn) for
+    # single-lane / CPU / f64 execution, so parity suites pin both.
+    value_grad_fn = None
+    if fused_iter.can_fuse(cfg):
+        value_grad_fn = fused_iter.build_value_grad(
+            cfg, dims, rows, n_rows, people_proj, people_present, costmap
+        )
+
     # debug_optimizer (optimizer.cpp:122-130): per-iteration (cost, radius,
     # rho, accepted, ...) trace as a fixed-length aux array.
     lm_trace = None
     if opt.debug_optimizer:
         u_flat, stats, lm_trace = lm_solve(
             residual_fn, u0_clipped, lower, upper, lm_cfg,
-            trace_len=opt.max_iterations,
+            trace_len=opt.max_iterations, value_grad_fn=value_grad_fn,
         )
     else:
-        u_flat, stats = lm_solve(residual_fn, u0_clipped, lower, upper, lm_cfg)
+        u_flat, stats = lm_solve(
+            residual_fn, u0_clipped, lower, upper, lm_cfg,
+            value_grad_fn=value_grad_fn,
+        )
     u = u_flat.reshape(dims.n_blocks, 2)
 
     # Extraction: saving_velocities[j] = block min(j, H-1)//bl for

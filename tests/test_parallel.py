@@ -56,3 +56,27 @@ def test_sharded_matches_unsharded():
         np.asarray(cmd_d.angular_z), np.asarray(cmd_u.angular_z), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(aux_d.status), np.asarray(aux_u.status))
+
+
+def test_weak_scaling_artifact_efficiency():
+    """The committed sharding-overhead artifact (tools/weak_scaling.py,
+    fixed-global-batch protocol) must show near-perfect efficiency: the
+    framework's only collective is the psum'd FleetMetrics, so sharding
+    overhead beyond tolerance means a regression leaked real per-scenario
+    traffic into the mesh. Regenerate with `python tools/weak_scaling.py`."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "WEAK_SCALING_r04.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("weak-scaling artifact not generated")
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data["points"]) >= 3
+    for p in data["points"]:
+        # Tolerant floor: CPU-host noise measured ~±10%; a real collective
+        # regression would cost far more than 25%.
+        assert p["efficiency_vs_1dev"] >= 0.75, p
+        assert p["usable_frac"] == 1.0, p

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Fake-cluster sharding-overhead curve (VERDICT r3 item 10).
+
+Real multi-chip hardware is unavailable here, so this measures the thing
+the virtual mesh CAN measure: sharding/collective OVERHEAD. Protocol:
+FIXED GLOBAL batch split across N virtual CPU devices on the same fixed
+physical cores — total work is constant, so perfect sharding is CONSTANT
+tick time at every N; any slowdown vs the 1-device point is
+mesh/shard_map/psum overhead plus virtual-device thread contention (an
+upper bound on what a real slice would pay, since real chips do not share
+cores). A fixed per-DEVICE batch (true weak scaling) was measured first
+and rejected: growing total work on fixed cores confounds the curve with
+XLA:CPU thread-pool partitioning.
+
+Per point, a subprocess runs the single-process campaign twice (short and
+long tick counts); per-tick cost is the difference, cancelling compile and
+setup. Results land in WEAK_SCALING_r04.json.
+
+  python tools/weak_scaling.py --devices 1,2,4,8 --global-batch 512
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+
+def run_point(n_devices, global_batch, ticks, config, people):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+
+    per_device_batch = global_batch // n_devices
+
+    def campaign(t):
+        cmd = [
+            sys.executable, "-m", "nav2_social_mpc_controller_tpu", "multihost",
+            "--force-cpu", "--config", config, "--ticks", str(t),
+            "--per-device-batch", str(per_device_batch), "--people", str(people),
+        ]
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=1200, cwd="/root/repo"
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    short = campaign(2)
+    long = campaign(2 + ticks)
+    per_tick = (long["elapsed_s"] - short["elapsed_s"]) / ticks
+    total = long["global_batch"] / per_tick
+    return {
+        "devices": n_devices,
+        "global_batch": long["global_batch"],
+        "per_tick_s": round(per_tick, 4),
+        "total_solves_per_s": round(total, 1),
+        "per_device_solves_per_s": round(total / n_devices, 1),
+        "usable_frac": long["n_usable"] / max(long["n_scenarios"], 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--global-batch", type=int, default=512)
+    ap.add_argument("--ticks", type=int, default=10)
+    ap.add_argument("--config", default="social")
+    ap.add_argument("--people", type=int, default=3)
+    ap.add_argument("--json", default="WEAK_SCALING_r04.json")
+    args = ap.parse_args()
+
+    rows = []
+    for n in (int(x) for x in args.devices.split(",")):
+        r = run_point(n, args.global_batch, args.ticks, args.config, args.people)
+        rows.append(r)
+        print(json.dumps(r), file=sys.stderr)
+
+    base = rows[0]["total_solves_per_s"]
+    for r in rows:
+        r["efficiency_vs_1dev"] = round(r["total_solves_per_s"] / base, 3)
+    out = {
+        "protocol": "fixed GLOBAL batch split across N virtual devices on fixed "
+        "physical cores; constant tick time == zero sharding overhead "
+        "(includes virtual-device thread contention: an upper bound)",
+        "global_batch": args.global_batch,
+        "config": args.config,
+        "points": rows,
+    }
+    print(json.dumps(out, indent=1))
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
