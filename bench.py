@@ -88,17 +88,26 @@ def make_batch(cfg, batch, n_people):
     return jax.block_until_ready(tile(scb_base)), base * reps
 
 
-def compile_program(cfg, scb, carry0):
+def compile_program(cfg, scb, carry0, compaction=0.0):
     """ONE AOT program with a DYNAMIC tick count (fori_loop over the vmapped
     step with the warm-start carry feeding back): the same executable times
     both the 1-tick and the N-tick campaign, halving compile time vs the
     former two-lowering scheme (VERDICT r1 item 10). A single dispatch per
-    measurement avoids per-tick tunnel round-trips."""
+    measurement avoids per-tick tunnel round-trips.
+
+    compaction > 0 swaps in the converged-lane-compaction pipeline
+    (make_step_batch_compacted) with that capacity fraction."""
     import functools
 
-    from nav2_social_mpc_controller_tpu.controller.controller import step as step_fn
+    from nav2_social_mpc_controller_tpu.controller.controller import (
+        make_step_batch_compacted,
+        step as step_fn,
+    )
 
-    vstep = jax.vmap(functools.partial(step_fn, cfg))
+    if compaction > 0.0:
+        vstep = make_step_batch_compacted(cfg, compaction, validate=False)
+    else:
+        vstep = jax.vmap(functools.partial(step_fn, cfg))
     batch = scb.robot.pose.shape[0]
 
     @jax.jit
@@ -151,7 +160,8 @@ def measure(exe, scb, carry0, iters, repeats):
     return per_tick, t_1, t_n, noisy, usable, lm_iters
 
 
-def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=None):
+def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=None,
+               compaction=0.0):
     from nav2_social_mpc_controller_tpu.controller.controller import make_carry
 
     cfg = get_config(name, warm_start_mode)
@@ -160,7 +170,7 @@ def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=No
     scb, batch = make_batch(cfg, batch, n_people)
     carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(batch))
     log(f"[{name}] AOT compiling (dynamic tick count)...")
-    exe, compile_s = compile_program(cfg, scb, carry0)
+    exe, compile_s = compile_program(cfg, scb, carry0, compaction=compaction)
     log(f"[{name}] compiled in {compile_s:.1f}s; executing...")
 
     import contextlib
@@ -245,6 +255,11 @@ def main():
         "opt-in fast mode — see docs/performance.md warm-start economics)",
     )
     ap.add_argument(
+        "--compaction", type=float, default=0.0, metavar="FRAC",
+        help="converged-lane compaction capacity fraction for the solve "
+        "(0 disables; see solver/batched.py)",
+    )
+    ap.add_argument(
         "--latency-batches",
         default="256,2048,4096",
         help="comma-separated batch sizes for the latency curve ('' disables; "
@@ -256,7 +271,7 @@ def main():
     if args.config != "all":
         result, _ = run_config(
             args.config, args.batch, args.iters, args.repeats, args.profile,
-            warm_start_mode=args.warm_start_mode,
+            warm_start_mode=args.warm_start_mode, compaction=args.compaction,
         )
         result["platform"] = jax.devices()[0].platform
         print(json.dumps(result))
@@ -276,10 +291,11 @@ def main():
     res_fast, _ = run_config(
         "social", args.batch, args.iters, args.repeats,
         warm_start_mode="previous_solution",
+        compaction=args.compaction if args.compaction > 0 else 0.25,
     )
-    res_fast["metric"] += "_warmstart_previous_solution"
+    res_fast["metric"] += "_warmstart_previous_solution_compacted"
     configs["social_fast_warmstart"] = res_fast
-    log(f"[social fast-warmstart] {res_fast['value']} solves/s/chip "
+    log(f"[social fast-warmstart+compaction] {res_fast['value']} solves/s/chip "
         f"({res_fast['batch_latency_ms']} ms/tick, "
         f"mean iters {res_fast['mean_lm_iters']:.1f})")
 

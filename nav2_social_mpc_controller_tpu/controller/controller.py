@@ -14,7 +14,7 @@ framework's workhorse entry point (thousands of independent solves per chip).
 """
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,14 @@ from nav2_social_mpc_controller_tpu.core.types import (
     STATUS_FALLBACK_CRAWL,
     STATUS_OK,
 )
-from nav2_social_mpc_controller_tpu.controller.optimize import ProblemDims, optimize
+from nav2_social_mpc_controller_tpu.controller.optimize import (
+    PreparedProblem,
+    ProblemDims,
+    make_lm_config,
+    optimize_finish,
+    optimize_prepare,
+    solve_prepared,
+)
 from nav2_social_mpc_controller_tpu.controller.path_handler import transform_global_plan
 from nav2_social_mpc_controller_tpu.controller.trajectorizer import trajectorize
 from nav2_social_mpc_controller_tpu.utils.angles import shortest_angular_distance
@@ -98,10 +105,25 @@ def make_carry(cfg: SocialMPCConfig, dtype=jnp.float32) -> ControllerCarry:
     )
 
 
-def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
-    """One control tick (computeVelocityCommands, social_mpc_controller.cpp:162-257).
+class StepContext(NamedTuple):
+    """Pre-solve state of one control tick: the prepared LM problem plus the
+    trajectorizer outputs and plan cursor the post-solve half consumes.
+    Produced by step_pre, consumed by step_post — the split exists so the
+    compacted batched pipeline (make_step_batch_compacted) can run ONE
+    explicitly-batched solver between vmapped halves while the per-lane
+    `step` keeps the identical code path."""
 
-    Returns (ControlCommand, StepAux, ControllerCarry)."""
+    prep: PreparedProblem
+    traj_ok: jnp.ndarray
+    traj_poses: jnp.ndarray
+    traj_cmds: jnp.ndarray
+    traj_n_steps: jnp.ndarray
+    plan_start_index: jnp.ndarray
+
+
+def step_pre(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry) -> StepContext:
+    """Tick head: plan windowing -> trajectorize -> FOV filter -> problem
+    assembly (computeVelocityCommands up to the ceres::Solve call)."""
     robot_pose = scenario.robot.pose
 
     # --- plan windowing (path_handler.cpp:40-108) ---
@@ -123,8 +145,7 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
     # --- people FOV filter (social_mpc_controller.cpp:197-215) ---
     people = fov_filter(cfg, scenario.people, robot_pose, scenario.costmap)
 
-    # --- optimize (optimizer.cpp:148-452) ---
-    res = optimize(
+    prep = optimize_prepare(
         cfg,
         traj.poses,
         traj.cmds,
@@ -135,6 +156,43 @@ def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
         scenario.esdf,
         carry,
     )
+    return StepContext(
+        prep=prep,
+        traj_ok=traj.ok,
+        traj_poses=traj.poses,
+        traj_cmds=traj.cmds,
+        traj_n_steps=traj.n_steps,
+        plan_start_index=windowed.start_index,
+    )
+
+
+def step(cfg: SocialMPCConfig, scenario: Scenario, carry: ControllerCarry):
+    """One control tick (computeVelocityCommands, social_mpc_controller.cpp:162-257).
+
+    Returns (ControlCommand, StepAux, ControllerCarry)."""
+    ctx = step_pre(cfg, scenario, carry)
+    u_flat, stats, lm_trace = solve_prepared(cfg, ctx.prep)
+    return step_post(cfg, ctx, carry, u_flat, stats, lm_trace)
+
+
+def step_post(cfg: SocialMPCConfig, ctx: StepContext, carry: ControllerCarry,
+              u_flat, stats, lm_trace=None):
+    """Tick tail: extraction, degradation ladder, warm-start carry update."""
+    res = optimize_finish(cfg, ctx.prep, u_flat, stats, lm_trace)
+
+    class _Traj(NamedTuple):
+        ok: jnp.ndarray
+        poses: jnp.ndarray
+        cmds: jnp.ndarray
+        n_steps: jnp.ndarray
+
+    traj = _Traj(ok=ctx.traj_ok, poses=ctx.traj_poses, cmds=ctx.traj_cmds,
+                 n_steps=ctx.traj_n_steps)
+
+    class _Windowed(NamedTuple):
+        start_index: jnp.ndarray
+
+    windowed = _Windowed(start_index=ctx.plan_start_index)
 
     # --- command selection / degradation ladder ---
     opt_v = res.cmds[0, 0]
@@ -237,6 +295,63 @@ def make_step_batch(cfg: SocialMPCConfig, validate: bool = True):
                 seen.clear()
                 seen.add(key)
         return fn(scenario, carry)
+
+    return checked
+
+
+def make_step_batch_compacted(
+    cfg: SocialMPCConfig, capacity_frac: float = 0.25, validate: bool = True
+):
+    """Batched step with converged-lane compaction in the LM solve
+    (solver/batched.py): vmap(step_pre) -> ONE explicitly-batched two-phase
+    solver -> vmap(step_post). Per-lane results are identical to
+    make_step_batch (pinned by tests/test_compaction.py); the win is that a
+    warm-started batch stops paying full-width iterations once the laggard
+    set fits capacity_frac * batch lanes. debug_optimizer is unsupported
+    here (the per-iteration trace assumes the per-lane while loop)."""
+    if cfg.optimizer.debug_optimizer:
+        raise ValueError("compaction does not support debug_optimizer")
+    from nav2_social_mpc_controller_tpu.ops import fused_iter
+    from nav2_social_mpc_controller_tpu.solver.batched import lm_solve_batch_compacted
+
+    dims = ProblemDims.from_config(cfg)
+    op = fused_iter.make_value_grad_op(cfg, dims)
+    lm_cfg = make_lm_config(cfg.optimizer)
+    vpre = jax.vmap(functools.partial(step_pre, cfg))
+    vpost = jax.vmap(functools.partial(step_post, cfg))
+
+    @jax.jit
+    def run(scenario, carry):
+        ctx = vpre(scenario, carry)
+        prep = ctx.prep
+        batch = prep.u0.shape[0]
+        capacity = max(1, int(batch * capacity_frac))
+        data = fused_iter.value_grad_data(
+            prep.rows, prep.n_rows, prep.people_proj, prep.people_present,
+            prep.costmap,
+        )
+        u, stats = lm_solve_batch_compacted(
+            op, data, prep.u0, prep.lower, prep.upper, lm_cfg, capacity
+        )
+        return vpost(ctx, carry, u, stats)
+
+    if not validate:
+        return run
+
+    from nav2_social_mpc_controller_tpu.core.validate import validate_batch_windows
+
+    seen = set()
+
+    @functools.wraps(run)
+    def checked(scenario, carry):
+        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
+        if key not in seen:
+            validate_batch_windows(cfg, scenario)
+            seen.add(key)
+            if len(seen) > 1024:
+                seen.clear()
+                seen.add(key)
+        return run(scenario, carry)
 
     return checked
 

@@ -253,6 +253,23 @@ def build_residual_fn(
     return residual_fn
 
 
+class PreparedProblem(NamedTuple):
+    """Everything the LM solve consumes, produced by optimize_prepare: the
+    per-lane problem data (operands of ops.fused_iter.make_value_grad_op)
+    plus the warm-started decision vector and its box bounds. Factored out
+    so the compacted batched solver (solver/batched.py) can gather/scatter
+    problems alongside solver state."""
+
+    rows: jnp.ndarray  # (maxsize, 6)
+    n_rows: jnp.ndarray  # ()
+    people_proj: jnp.ndarray  # (maxsize, N, 6)
+    people_present: jnp.ndarray  # () bool
+    costmap: Costmap
+    u0: jnp.ndarray  # (2B,) clipped warm start
+    lower: jnp.ndarray  # (2B,)
+    upper: jnp.ndarray  # (2B,)
+
+
 def optimize(
     cfg: SocialMPCConfig,
     ref_poses: jnp.ndarray,
@@ -265,6 +282,76 @@ def optimize(
     carry: ControllerCarry,
 ) -> OptimizeResult:
     """The full Optimizer::optimize pipeline (optimizer.cpp:148-452)."""
+    prep = optimize_prepare(
+        cfg, ref_poses, ref_cmds, n_traj_steps, speed, people, costmap, esdf, carry
+    )
+    dims = ProblemDims.from_config(cfg)
+
+    u_flat, stats, lm_trace = solve_prepared(cfg, prep)
+    return optimize_finish(cfg, prep, u_flat, stats, lm_trace)
+
+
+def solve_prepared(cfg: SocialMPCConfig, prep: "PreparedProblem"):
+    """Per-lane LM solve of a PreparedProblem (the ceres::Solve call,
+    optimizer.cpp:381). Returns (u_flat, SolveStats, lm_trace|None)."""
+    dims = ProblemDims.from_config(cfg)
+    residual_fn = build_residual_fn(
+        cfg, dims, prep.rows, prep.n_rows, prep.people_proj, prep.people_present,
+        prep.costmap,
+    )
+
+    # Fused LM iteration (ops/fused_iter.py): analytic residual+Jacobian ->
+    # (cost, g, JtJ) with a Pallas kernel on the batched f32 TPU path; the
+    # custom_vmap op keeps THIS path (linearize over residual_fn) for
+    # single-lane / CPU / f64 execution, so parity suites pin both.
+    value_grad_fn = None
+    if fused_iter.can_fuse(cfg):
+        value_grad_fn = fused_iter.build_value_grad(
+            cfg, dims, prep.rows, prep.n_rows, prep.people_proj,
+            prep.people_present, prep.costmap,
+        )
+
+    opt = cfg.optimizer
+    lm_cfg = make_lm_config(opt)
+    # debug_optimizer (optimizer.cpp:122-130): per-iteration (cost, radius,
+    # rho, accepted, ...) trace as a fixed-length aux array.
+    lm_trace = None
+    if opt.debug_optimizer:
+        u_flat, stats, lm_trace = lm_solve(
+            residual_fn, prep.u0, prep.lower, prep.upper, lm_cfg,
+            trace_len=opt.max_iterations, value_grad_fn=value_grad_fn,
+        )
+    else:
+        u_flat, stats = lm_solve(
+            residual_fn, prep.u0, prep.lower, prep.upper, lm_cfg,
+            value_grad_fn=value_grad_fn,
+        )
+    return u_flat, stats, lm_trace
+
+
+def make_lm_config(opt) -> LMConfig:
+    return LMConfig(
+        max_iterations=opt.max_iterations,
+        fn_tol=opt.fn_tol,
+        gradient_tol=opt.gradient_tol,
+        param_tol=opt.param_tol,
+    )
+
+
+def optimize_prepare(
+    cfg: SocialMPCConfig,
+    ref_poses: jnp.ndarray,
+    ref_cmds: jnp.ndarray,
+    n_traj_steps: jnp.ndarray,
+    speed: jnp.ndarray,
+    people: AgentsState,
+    costmap: Costmap,
+    esdf: ObstacleDistanceGrid,
+    carry: ControllerCarry,
+) -> PreparedProblem:
+    """Problem assembly half of Optimizer::optimize (optimizer.cpp:148-379):
+    warm-start blending, SFM people projection, decision-variable packing
+    and box bounds."""
     dims = ProblemDims.from_config(cfg)
     dt = cfg.trajectorizer.time_step
 
@@ -289,8 +376,6 @@ def optimize(
         esdf_window=cfg.esdf_window_cells,
     )
     people_present = jnp.any(people.valid)
-
-    residual_fn = build_residual_fn(cfg, dims, rows, n_rows, people_proj, people_present, costmap)
 
     # Warm start: block b initializes from optimization ROW b's velocity
     # (optimizer.cpp:256-260 — parameter_blocks point at
@@ -323,42 +408,38 @@ def optimize(
     lower = jnp.where(bounded[:, None], lo_b[None, :], -big).reshape(-1)
     upper = jnp.where(bounded[:, None], hi_b[None, :], big).reshape(-1)
 
-    lm_cfg = LMConfig(
-        max_iterations=opt.max_iterations,
-        fn_tol=opt.fn_tol,
-        gradient_tol=opt.gradient_tol,
-        param_tol=opt.param_tol,
-    )
     u0_clipped = jnp.clip(u0.reshape(-1), lower, upper)
+    return PreparedProblem(
+        rows=rows,
+        n_rows=n_rows,
+        people_proj=people_proj,
+        people_present=people_present,
+        costmap=costmap,
+        u0=u0_clipped,
+        lower=lower,
+        upper=upper,
+    )
 
-    # Fused LM iteration (ops/fused_iter.py): analytic residual+Jacobian ->
-    # (cost, g, JtJ) with a Pallas kernel on the batched f32 TPU path; the
-    # custom_vmap op keeps THIS path (linearize over residual_fn) for
-    # single-lane / CPU / f64 execution, so parity suites pin both.
-    value_grad_fn = None
-    if fused_iter.can_fuse(cfg):
-        value_grad_fn = fused_iter.build_value_grad(
-            cfg, dims, rows, n_rows, people_proj, people_present, costmap
-        )
 
-    # debug_optimizer (optimizer.cpp:122-130): per-iteration (cost, radius,
-    # rho, accepted, ...) trace as a fixed-length aux array.
-    lm_trace = None
-    if opt.debug_optimizer:
-        u_flat, stats, lm_trace = lm_solve(
-            residual_fn, u0_clipped, lower, upper, lm_cfg,
-            trace_len=opt.max_iterations, value_grad_fn=value_grad_fn,
-        )
-    else:
-        u_flat, stats = lm_solve(
-            residual_fn, u0_clipped, lower, upper, lm_cfg,
-            value_grad_fn=value_grad_fn,
-        )
+def optimize_finish(
+    cfg: SocialMPCConfig,
+    prep: PreparedProblem,
+    u_flat: jnp.ndarray,
+    stats: SolveStats,
+    lm_trace=None,
+) -> OptimizeResult:
+    """Extraction half of Optimizer::optimize: saving_velocities[j] = block
+    min(j, H-1)//bl for j = 0..S (optimizer.cpp:390-419 incl. the
+    post-horizon extrapolation), then the path is re-integrated from pose_0
+    (:420-446)."""
+    dims = ProblemDims.from_config(cfg)
+    dt = cfg.trajectorizer.time_step
+    rows, n_rows = prep.rows, prep.n_rows
     u = u_flat.reshape(dims.n_blocks, 2)
 
-    # Extraction: saving_velocities[j] = block min(j, H-1)//bl for
-    # j = 0..S (optimizer.cpp:390-419 incl. the post-horizon extrapolation),
-    # then the path is re-integrated from pose_0 (:420-446).
+    n_vel = n_rows - 1
+    h_dyn = jnp.maximum(jnp.minimum(dims.horizon, n_vel), 1)
+    bl_dyn = jnp.maximum(jnp.minimum(dims.block_length, h_dyn), 1)
     ext_idx = block_index_sequence_dynamic(dims.s + 1, h_dyn, bl_dyn)
     cmds_out = expand_blocks(u, ext_idx)  # (maxsize, 2)
     path_out = rollout_poses(rows[0, 0:3], u, dt, ext_idx)[1:]  # (maxsize, 3)
@@ -369,7 +450,7 @@ def optimize(
         cmds=cmds_out,
         path=path_out,
         n=n_rows,
-        people_proj=people_proj,
+        people_proj=prep.people_proj,
         stats=stats,
         u=u,
         lm_trace=lm_trace,

@@ -299,13 +299,13 @@ def project_people(
         )
     )
     if use_window:
-        ox_u8, oy_u8, w_col, w_row = crop_esdf_obstacle_window(
+        oxy_u16, w_col, w_row = crop_esdf_obstacle_window(
             esdf_indexes, pos0, esdf_origin, esdf_resolution, esdf_window
         )
 
         def obstacle_lookup(query_xy):
             return esdf_nearest_obstacle_diff_windowed(
-                ox_u8, oy_u8, w_col, w_row, (grid_h, grid_w),
+                oxy_u16, w_col, w_row, (grid_h, grid_w),
                 esdf_origin, esdf_resolution, esdf_window, query_xy,
             )
     else:

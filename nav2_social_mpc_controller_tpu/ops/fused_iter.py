@@ -44,7 +44,13 @@ from nav2_social_mpc_controller_tpu.utils.angles import wrap_atan2
 def can_fuse(cfg) -> bool:
     """The fused path covers exactly the benchmark critic set; the latent
     critics (AngleCost / CurvatureCost — compiled but never instantiated by
-    the reference, SURVEY.md section 2.2) keep the reference linearize path."""
+    the reference, SURVEY.md section 2.2) keep the reference linearize path.
+    SOCIAL_MPC_DISABLE_FUSED=1 is the operational escape hatch back to the
+    pure-XLA linearize pipeline."""
+    import os
+
+    if os.environ.get("SOCIAL_MPC_DISABLE_FUSED") == "1":
+        return False
     w = cfg.optimizer.weights
     return w.pure_angle_weight == 0.0 and w.curvature_weight == 0.0
 
@@ -621,11 +627,14 @@ def _fused_batched(cfg, dims, u, rows, n_rows, proj, present, cmd, cmo, cmr,
     )
 
 
-def build_value_grad(cfg, dims, rows, n_rows, people_proj, present, costmap):
-    """value_grad(u) -> (cost, g, jtj) for lm_solve, with custom_vmap
-    dispatch: unbatched (and CPU / f64 batched) execution is EXACTLY the
-    reference linearize path over build_residual_fn; batched f32 TPU
-    execution takes the fused kernel pipeline."""
+def make_value_grad_op(cfg, dims):
+    """The custom_vmap value-grad op: op(u, rows, n_rows, proj, present,
+    cm_data, cm_origin, cm_res) -> (cost, g, jtj). Unbatched (and CPU /
+    f64 batched) execution is EXACTLY the reference linearize path over
+    build_residual_fn; batched f32 TPU execution takes the fused kernel
+    pipeline. Exposed with explicit data operands so the compacted batched
+    solver (solver/batched.py) can gather/scatter the data alongside the
+    solver state."""
 
     @jax.custom_batching.custom_vmap
     def op(u, rows, n_rows, proj, present, cmd, cmo, cmr):
@@ -639,18 +648,40 @@ def build_value_grad(cfg, dims, rows, n_rows, people_proj, present, costmap):
             for a, bt in zip(args, in_batched)
         ]
         u = args[0]
-        if u.dtype == jnp.float32 and jax.default_backend() == "tpu" and u.ndim == 2:
+        import os
+
+        fused_ok = (
+            u.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and u.ndim == 2
+            and os.environ.get("SOCIAL_MPC_DISABLE_FUSED") != "1"
+        )
+        if fused_ok:
             return _fused_batched(cfg, dims, *args), out_batched
         return (
             jax.vmap(functools.partial(_ref_value_grad, cfg, dims))(*args),
             out_batched,
         )
 
+    return op
+
+
+def build_value_grad(cfg, dims, rows, n_rows, people_proj, present, costmap):
+    """value_grad(u) -> (cost, g, jtj) for lm_solve (per-lane closure over
+    the scenario data; see make_value_grad_op for the dispatch contract)."""
+    op = make_value_grad_op(cfg, dims)
+    data = value_grad_data(rows, n_rows, people_proj, present, costmap)
+
     def value_grad(u):
-        return op(
-            u, rows, n_rows, people_proj, present,
-            jnp.asarray(costmap.data), jnp.asarray(costmap.origin),
-            jnp.asarray(costmap.resolution),
-        )
+        return op(u, *data)
 
     return value_grad
+
+
+def value_grad_data(rows, n_rows, people_proj, present, costmap):
+    """The operand tuple make_value_grad_op consumes after u."""
+    return (
+        rows, n_rows, people_proj, present,
+        jnp.asarray(costmap.data), jnp.asarray(costmap.origin),
+        jnp.asarray(costmap.resolution),
+    )

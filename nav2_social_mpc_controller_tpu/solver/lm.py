@@ -121,6 +121,129 @@ def default_linear_solve(a, b):
     return spd_solve(a, b)
 
 
+class _IterAux(NamedTuple):
+    """Per-iteration intermediates surfaced for the debug trace."""
+
+    rho: jnp.ndarray
+    actual_change: jnp.ndarray
+    step_norm: jnp.ndarray
+    accept: jnp.ndarray
+    active: jnp.ndarray
+
+
+def lm_iteration(value_grad, lower, upper, cfg: LMConfig, linear_solve,
+                 jac_scale, st: "_LMState"):
+    """ONE per-lane LM trust-region iteration — the exact body of lm_solve's
+    while-loop, factored out so the compacted batched solver
+    (solver/batched.py) can run the IDENTICAL per-lane math under an
+    explicit batch axis. A lane with st.done stays frozen (bit-identical
+    carry), which is what makes gather/compact/scatter safe.
+
+    Returns (new_state, _IterAux); new_state.trace passes through unchanged
+    (lm_solve layers the debug trace on top)."""
+    g = st.g
+    jtj = st.jtj
+    dtype = st.u.dtype
+
+    grad_ok = jnp.max(jnp.abs(g)) <= cfg.gradient_tol
+
+    if jac_scale is not None:
+        # Solve the column-scaled damped system; map the step back.
+        jtj_s = jtj * (jac_scale[:, None] * jac_scale[None, :])
+        diag = jnp.clip(jnp.diagonal(jtj_s), cfg.min_diagonal, cfg.max_diagonal)
+        delta = jac_scale * _solve_damped(
+            jtj_s, jac_scale * g, diag, st.radius, linear_solve
+        )
+    else:
+        diag = jnp.clip(jnp.diagonal(jtj), cfg.min_diagonal, cfg.max_diagonal)
+        delta = _solve_damped(jtj, g, diag, st.radius, linear_solve)
+
+    # Project trial point onto the box; the projected delta defines both
+    # the candidate and the model cost (constrained trust region).
+    u_new = jnp.clip(st.u + delta, lower, upper)
+    delta = u_new - st.u
+
+    # Same raised precision as the normal-equation formation (value_grad):
+    # rho's numerator/denominator decide accept/reject, so a bf16-truncated
+    # model_change would still diverge from the CPU parity suites. These
+    # are (D,)-dot-(D,) contractions — cost is negligible at any precision.
+    hi = jax.lax.Precision.HIGHEST
+    model_change = -jnp.vdot(delta, g, precision=hi) - 0.5 * jnp.vdot(
+        delta, jnp.matmul(jtj, delta, precision=hi), precision=hi
+    )
+    new_cost, g_new, jtj_new = value_grad(u_new)
+    actual_change = st.cost - new_cost
+
+    rho = actual_change / model_change
+    step_valid = (model_change > 0.0) & jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(delta))
+    # Freeze lanes that already converged: under vmap the batched while
+    # loop keeps running until every lane is done, and an unguarded body
+    # would keep mutating finished lanes — making results depend on batch
+    # composition (caught by test_sharded_matches_unsharded).
+    active = ~st.done
+    accept = active & step_valid & (rho > cfg.min_relative_decrease)
+
+    # Radius update
+    shrink = 2.0 * rho - 1.0
+    grow = jnp.maximum(1.0 / 3.0, 1.0 - shrink * shrink * shrink)
+    radius_acc = jnp.minimum(st.radius / grow, cfg.max_radius)
+    radius_rej = st.radius / st.decrease_factor
+    radius = jnp.where(active, jnp.where(accept, radius_acc, radius_rej), st.radius)
+    decrease_factor = jnp.where(
+        active, jnp.where(accept, 2.0, st.decrease_factor * 2.0), st.decrease_factor
+    )
+
+    u = jnp.where(accept, u_new, st.u)
+    g = jnp.where(accept, g_new, st.g)
+    jtj = jnp.where(accept, jtj_new, st.jtj)
+    cost = jnp.where(accept, new_cost, st.cost)
+
+    # Convergence tests (accepted steps only, as in Ceres)
+    fn_conv = accept & (jnp.abs(actual_change) <= cfg.fn_tol * st.cost)
+    step_norm = jnp.linalg.norm(delta)
+    param_conv = accept & (step_norm <= cfg.param_tol * (jnp.linalg.norm(st.u) + cfg.param_tol))
+    radius_dead = active & (radius < cfg.min_radius)
+    numeric_failed = active & (~jnp.isfinite(cost) | jnp.any(~jnp.isfinite(u)))
+    grad_ok = active & grad_ok
+
+    term = jnp.where(
+        numeric_failed,
+        TERM_NUMERIC_FAILURE,
+        jnp.where(
+            grad_ok,
+            TERM_GRADIENT_TOL,
+            jnp.where(
+                fn_conv,
+                TERM_FUNCTION_TOL,
+                jnp.where(
+                    param_conv,
+                    TERM_PARAMETER_TOL,
+                    jnp.where(radius_dead, TERM_MIN_RADIUS, TERM_NO_CONVERGENCE),
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    newly_done = numeric_failed | grad_ok | fn_conv | param_conv | radius_dead
+
+    st_new = _LMState(
+        u=u,
+        cost=cost,
+        g=g,
+        jtj=jtj,
+        radius=radius.astype(dtype),
+        decrease_factor=decrease_factor.astype(dtype),
+        iters=st.iters + active.astype(jnp.int32),
+        done=st.done | newly_done,
+        term=jnp.where(st.done, st.term, term),
+        failed=st.failed | numeric_failed,
+        trace=st.trace,
+    )
+    return st_new, _IterAux(
+        rho=rho, actual_change=actual_change, step_norm=step_norm,
+        accept=accept, active=active,
+    )
+
+
 def make_value_grad(residual_fn: Callable, d: int):
     """value_grad(u) -> (cost, g = J^T r, JtJ = J^T J) via jax.linearize:
     one primal pass + one d-wide linear tangent pass, reduced immediately so
@@ -195,121 +318,30 @@ def lm_solve(
     )
 
     def body(st: _LMState) -> _LMState:
-        g = st.g
-        jtj = st.jtj
-
-        grad_ok = jnp.max(jnp.abs(g)) <= cfg.gradient_tol
-
-        if cfg.jacobi_scaling:
-            # Solve the column-scaled damped system; map the step back.
-            jtj_s = jtj * (jac_scale[:, None] * jac_scale[None, :])
-            diag = jnp.clip(jnp.diagonal(jtj_s), cfg.min_diagonal, cfg.max_diagonal)
-            delta = jac_scale * _solve_damped(
-                jtj_s, jac_scale * g, diag, st.radius, linear_solve
-            )
-        else:
-            diag = jnp.clip(jnp.diagonal(jtj), cfg.min_diagonal, cfg.max_diagonal)
-            delta = _solve_damped(jtj, g, diag, st.radius, linear_solve)
-
-        # Project trial point onto the box; the projected delta defines both
-        # the candidate and the model cost (constrained trust region).
-        u_new = jnp.clip(st.u + delta, lower, upper)
-        delta = u_new - st.u
-
-        # Same raised precision as the normal-equation formation (value_grad):
-        # rho's numerator/denominator decide accept/reject, so a bf16-truncated
-        # model_change would still diverge from the CPU parity suites. These
-        # are (D,)-dot-(D,) contractions — cost is negligible at any precision.
-        hi = jax.lax.Precision.HIGHEST
-        model_change = -jnp.vdot(delta, g, precision=hi) - 0.5 * jnp.vdot(
-            delta, jnp.matmul(jtj, delta, precision=hi), precision=hi
+        st_new, aux = lm_iteration(
+            value_grad, lower, upper, cfg, linear_solve, jac_scale, st
         )
-        new_cost, g_new, jtj_new = value_grad(u_new)
-        actual_change = st.cost - new_cost
-
-        rho = actual_change / model_change
-        step_valid = (model_change > 0.0) & jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(delta))
-        # Freeze lanes that already converged: under vmap the batched while
-        # loop keeps running until every lane is done, and an unguarded body
-        # would keep mutating finished lanes — making results depend on batch
-        # composition (caught by test_sharded_matches_unsharded).
-        active = ~st.done
-        accept = active & step_valid & (rho > cfg.min_relative_decrease)
-
-        # Radius update
-        shrink = 2.0 * rho - 1.0
-        grow = jnp.maximum(1.0 / 3.0, 1.0 - shrink * shrink * shrink)
-        radius_acc = jnp.minimum(st.radius / grow, cfg.max_radius)
-        radius_rej = st.radius / st.decrease_factor
-        radius = jnp.where(active, jnp.where(accept, radius_acc, radius_rej), st.radius)
-        decrease_factor = jnp.where(
-            active, jnp.where(accept, 2.0, st.decrease_factor * 2.0), st.decrease_factor
-        )
-
-        u = jnp.where(accept, u_new, st.u)
-        g = jnp.where(accept, g_new, st.g)
-        jtj = jnp.where(accept, jtj_new, st.jtj)
-        cost = jnp.where(accept, new_cost, st.cost)
-
-        # Convergence tests (accepted steps only, as in Ceres)
-        fn_conv = accept & (jnp.abs(actual_change) <= cfg.fn_tol * st.cost)
-        step_norm = jnp.linalg.norm(delta)
-        param_conv = accept & (step_norm <= cfg.param_tol * (jnp.linalg.norm(st.u) + cfg.param_tol))
-        radius_dead = active & (radius < cfg.min_radius)
-        numeric_failed = active & (~jnp.isfinite(cost) | jnp.any(~jnp.isfinite(u)))
-        grad_ok = active & grad_ok
-
-        term = jnp.where(
-            numeric_failed,
-            TERM_NUMERIC_FAILURE,
-            jnp.where(
-                grad_ok,
-                TERM_GRADIENT_TOL,
-                jnp.where(
-                    fn_conv,
-                    TERM_FUNCTION_TOL,
-                    jnp.where(
-                        param_conv,
-                        TERM_PARAMETER_TOL,
-                        jnp.where(radius_dead, TERM_MIN_RADIUS, TERM_NO_CONVERGENCE),
-                    ),
-                ),
-            ),
-        ).astype(jnp.int32)
-        newly_done = numeric_failed | grad_ok | fn_conv | param_conv | radius_dead
 
         trace = st.trace
         if trace is not None:
             at = jnp.clip(st.iters, 0, trace_len - 1)
+            active = aux.active
 
             def put(buf, v):
                 return buf.at[at].set(jnp.where(active, v.astype(buf.dtype), buf[at]))
 
             trace = LMTrace(
                 cost=put(trace.cost, st.cost),
-                cost_change=put(trace.cost_change, actual_change),
+                cost_change=put(trace.cost_change, aux.actual_change),
                 grad_max=put(trace.grad_max, jnp.max(jnp.abs(st.g))),
-                step_norm=put(trace.step_norm, step_norm),
-                tr_ratio=put(trace.tr_ratio, rho),
+                step_norm=put(trace.step_norm, aux.step_norm),
+                tr_ratio=put(trace.tr_ratio, aux.rho),
                 tr_radius=put(trace.tr_radius, st.radius),
                 accepted=trace.accepted.at[at].set(
-                    jnp.where(active, accept, trace.accepted[at])
+                    jnp.where(active, aux.accept, trace.accepted[at])
                 ),
             )
-
-        return _LMState(
-            u=u,
-            cost=cost,
-            g=g,
-            jtj=jtj,
-            radius=radius.astype(dtype),
-            decrease_factor=decrease_factor.astype(dtype),
-            iters=st.iters + active.astype(jnp.int32),
-            done=st.done | newly_done,
-            term=jnp.where(st.done, st.term, term),
-            failed=st.failed | numeric_failed,
-            trace=trace,
-        )
+        return st_new._replace(trace=trace)
 
     def cond(st: _LMState):
         return (~st.done) & (st.iters < cfg.max_iterations)

@@ -349,7 +349,7 @@ def crop_esdf_obstacle_window(indexes, centers_xy, origin, resolution, window: i
     otherwise.
 
     indexes: (H, W) int32; centers_xy: (N, 2) world points.
-    Returns (ox_u8 (N, window^2), oy_u8 (N, window^2),
+    Returns (oxy_u16 (N, window^2) — packed ox | oy << 8,
              start_col (N,) int32, start_row (N,) int32).
     """
     h, w = indexes.shape[-2], indexes.shape[-1]
@@ -373,18 +373,24 @@ def crop_esdf_obstacle_window(indexes, centers_xy, origin, resolution, window: i
     win = jnp.einsum("kcw,krw->krc", cols_sel, win_rows, precision=hi)  # (N, window, window)
 
     idx_i = win.astype(jnp.int32).reshape(win.shape[0], -1)  # (N, window^2)
-    oy = (idx_i // w).astype(jnp.uint8)
-    ox = (idx_i % w).astype(jnp.uint8)
-    return ox, oy, start_col, start_row
+    oy = idx_i // w
+    ox = idx_i % w
+    # ONE packed u16 plane (ox | oy << 8) instead of two u8 planes: the
+    # per-scan-step lookup then runs a SINGLE masked max-reduce over
+    # window^2 — halving both the reduce passes and the table re-reads that
+    # dominate project_people's bytes (VERDICT r3 item 5). Exact: cell
+    # coords are < 256 by the crop contract.
+    oxy = (ox + (oy << 8)).astype(jnp.uint16)
+    return oxy, start_col, start_row
 
 
 def esdf_nearest_obstacle_diff_windowed(
-    ox_u8, oy_u8, start_col, start_row, grid_hw, origin, resolution, window: int, point_xy
+    oxy_u16, start_col, start_row, grid_hw, origin, resolution, window: int, point_xy
 ):
     """Windowed equivalent of esdf_nearest_obstacle_diff: same math, with the
-    per-step gather replaced by a masked max-reduce over the u8 tables from
-    crop_esdf_obstacle_window. Exact whenever the query stays inside its
-    agent's window (see the sizing rule there).
+    per-step gather replaced by ONE masked max-reduce over the packed-u16
+    table from crop_esdf_obstacle_window. Exact whenever the query stays
+    inside its agent's window (see the sizing rule there).
 
     point_xy: (N, 2) — one query per agent/window row.
     Returns (diff (N, 2), in_bounds (N,) bool).
@@ -397,9 +403,10 @@ def esdf_nearest_obstacle_diff_windowed(
     wy = jnp.clip(jnp.clip(ycell, 0, h - 1) - start_row, 0, window - 1)
     flat = wy * window + wx  # (N,)
     mask = flat[:, None] == jnp.arange(window * window, dtype=flat.dtype)  # (N, window^2)
-    zero = jnp.zeros((), jnp.uint8)
+    zero = jnp.zeros((), jnp.uint16)
     # The mask selects exactly one element, so max == the selected value.
-    ob_x = jnp.max(jnp.where(mask, ox_u8, zero), axis=-1).astype(point_xy.dtype)
-    ob_y = jnp.max(jnp.where(mask, oy_u8, zero), axis=-1).astype(point_xy.dtype)
+    oxy = jnp.max(jnp.where(mask, oxy_u16, zero), axis=-1).astype(jnp.int32)
+    ob_x = (oxy & 0xFF).astype(point_xy.dtype)
+    ob_y = (oxy >> 8).astype(point_xy.dtype)
     obstacle = jnp.stack([ob_x, ob_y], axis=-1) * resolution + origin
     return point_xy - obstacle, in_bounds
