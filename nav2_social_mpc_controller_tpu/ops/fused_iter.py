@@ -182,6 +182,14 @@ def rollout_with_sensitivities(u, pose0, dt, block_idx, n_blocks):
 
 _BT = 128  # batch lanes per program
 
+# Perf-bisect knob (tools/fused_iter_bench.py --stages): which kernel stages
+# to evaluate. Production always runs all; trimming the set is a measurement
+# tool, not a correctness mode.
+_STAGES = frozenset({
+    "social", "agent_angle", "proxemics", "velocity", "goal_align",
+    "dist_follow", "dist_align", "obstacle", "vf", "contract",
+})
+
 _TWO_PI = float(2.0 * np.pi)
 
 
@@ -304,6 +312,8 @@ def _fused_kernel(
             gth = None if gth is None else jnp.where(mask, gth, z)
             gv = None if gv is None else jnp.where(mask, gv, z)
         cost_acc = cost_acc + 0.5 * red(r * r)
+        if "contract" not in _STAGES:
+            return
         cols = []
         for dd in range(d):
             jd = None
@@ -326,39 +336,47 @@ def _fused_kernel(
 
     # Residual order mirrors controller.optimize.build_residual_fn. Mosaic
     # has no atan lowering, so the angle helpers use the polynomial forms.
-    r, g5 = cg.social_work_grad(
-        w.social_weight, px, py, pth, v, agents,
-        atan2_fn=_atan2_poly, wrap_fn=_wrap_poly,
-    )
-    accumulate(r, g5, m_social)
-    r, g5 = cg.agent_angle_grad(
-        w.agent_angle_weight, pth, steer_ref[:], active, wrap_fn=_wrap_poly
-    )
-    accumulate(r, g5, None)  # active is prefolded with the social mask
-    r, g5 = cg.proxemics_grad(w.proxemics_weight, px, py, agents)
-    accumulate(r, g5, m_social)
-    r, g5 = cg.velocity_grad(w.velocity_weight, desired_vel, v, m_vel)
-    accumulate(r, g5, None)  # m_vel is prefolded with the step mask
+    if "social" in _STAGES:
+        r, g5 = cg.social_work_grad(
+            w.social_weight, px, py, pth, v, agents,
+            atan2_fn=_atan2_poly, wrap_fn=_wrap_poly,
+        )
+        accumulate(r, g5, m_social)
+    if "agent_angle" in _STAGES:
+        r, g5 = cg.agent_angle_grad(
+            w.agent_angle_weight, pth, steer_ref[:], active, wrap_fn=_wrap_poly
+        )
+        accumulate(r, g5, None)  # active is prefolded with the social mask
+    if "proxemics" in _STAGES:
+        r, g5 = cg.proxemics_grad(w.proxemics_weight, px, py, agents)
+        accumulate(r, g5, m_social)
+    if "velocity" in _STAGES:
+        r, g5 = cg.velocity_grad(w.velocity_weight, desired_vel, v, m_vel)
+        accumulate(r, g5, None)  # m_vel is prefolded with the step mask
     fx = scal_ref[0:1, :]
     fy = scal_ref[1:2, :]
     goal_yaw = scal_ref[2:3, :]
     inv_res = scal_ref[3:4, :]
-    r, g5 = cg.goal_align_grad(w.goal_align_weight, goal_yaw, pth, wrap_fn=_wrap_poly)
-    accumulate(r, g5, m_step)
-    r, g5 = cg.distance_grad(w.distance_weight, px, py, fx, fy)
-    accumulate(r, g5, m_step)
-    r, g5 = cg.distance_grad(w.angle_weight, px, py, refx_ref[:], refy_ref[:])
-    accumulate(r, g5, m_step)
-    r, g5 = cg.obstacle_grad(
-        w.obstacle_weight, val_ref[:], drow_ref[:], dcol_ref[:], pth, inv_res,
-        front_offset,
-    )
-    accumulate(r, g5, m_step)
+    if "goal_align" in _STAGES:
+        r, g5 = cg.goal_align_grad(w.goal_align_weight, goal_yaw, pth, wrap_fn=_wrap_poly)
+        accumulate(r, g5, m_step)
+    if "dist_follow" in _STAGES:
+        r, g5 = cg.distance_grad(w.distance_weight, px, py, fx, fy)
+        accumulate(r, g5, m_step)
+    if "dist_align" in _STAGES:
+        r, g5 = cg.distance_grad(w.angle_weight, px, py, refx_ref[:], refy_ref[:])
+        accumulate(r, g5, m_step)
+    if "obstacle" in _STAGES:
+        r, g5 = cg.obstacle_grad(
+            w.obstacle_weight, val_ref[:], drow_ref[:], dcol_ref[:], pth, inv_res,
+            front_offset,
+        )
+        accumulate(r, g5, m_step)
 
     # Velocity-feasibility rows between consecutive blocks: residuals and
     # Jacobian live directly in u-space (critics.velocity_feasibility_cost).
     wvf = w.velocity_feasibility_weight
-    for q in range(n_vf):
+    for q in range(n_vf if "vf" in _STAGES else 0):
         vq = u_ref[2 * q : 2 * q + 1, :]
         wq = u_ref[2 * q + 1 : 2 * q + 2, :]
         vq1 = u_ref[2 * q + 2 : 2 * q + 3, :]

@@ -20,12 +20,17 @@ def main():
                     choices=["social", "obstacle", "omni6", "stress36"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--stages", default=None,
+                    help="comma list to restrict kernel stages (bisect tool)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    if args.stages is not None:
+        from nav2_social_mpc_controller_tpu.ops import fused_iter as _fi
+        _fi._STAGES = frozenset(args.stages.split(",")) if args.stages else frozenset()
     from nav2_social_mpc_controller_tpu.core.config import (
         benchmark_obstacle_only_config,
         benchmark_omni_6agents_config,
