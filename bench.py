@@ -214,7 +214,11 @@ def run_latency_curve(name, batches, iters, repeats):
         carry0 = jax.vmap(lambda _: make_carry(cfg))(jnp.arange(b_eff))
         log(f"[curve] batch {b_eff}: compiling...")
         exe, compile_s = compile_program(cfg, scb, carry0)
-        per_tick, t_1, t_n, noisy, usable, _ = measure(exe, scb, carry0, iters, repeats)
+        # Small batches: scale the tick count up so the measured t_n - t_1
+        # difference clears the tunnel's ~+-3 ms run-to-run jitter (at
+        # batch 256 a sub-ms tick x 4 ticks is pure noise otherwise).
+        it = min(60, max(iters, iters * max(1, 1024 // max(b_eff, 1))))
+        per_tick, t_1, t_n, noisy, usable, _ = measure(exe, scb, carry0, it, repeats)
         curve.append(
             {
                 "batch": b_eff,
@@ -246,6 +250,8 @@ def main():
         "--profile", metavar="DIR", default=None, help="capture a jax.profiler trace"
     )
     ap.add_argument("--repeats", type=int, default=3, help="min-of-k executions per program")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pipeline debugging; numbers meaningless)")
     ap.add_argument(
         "--warm-start-mode",
         choices=["reference", "previous_solution"],
@@ -267,6 +273,8 @@ def main():
     )
     args = ap.parse_args()
     assert args.iters >= 2, "--iters must be >= 2"
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.config != "all":
         result, _ = run_config(
