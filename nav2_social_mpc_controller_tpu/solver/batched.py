@@ -24,6 +24,13 @@ tests/test_compaction.py::test_compacted_matches_plain_solver_exactly).
 
 No reference counterpart — Ceres solves ONE problem; this is the
 framework's own batching economics.
+
+Capacity tuning: a lane heading for the iteration cap stays ACTIVE until
+iters == max_iterations, so `capacity` must exceed the expected
+cap-bound lane fraction of the workload — below it, phase 1 never
+triggers and the scheme degenerates to the plain solver plus overhead
+(measured: warm-start social B=1024 at capacity 0.25 -> 172.7k solves/s,
+at 0.125 -> 64.9k; docs/performance.md).
 """
 
 from typing import NamedTuple
