@@ -281,19 +281,13 @@ def make_step_batch(cfg: SocialMPCConfig, validate: bool = True):
     if not validate:
         return fn
 
-    from nav2_social_mpc_controller_tpu.core.validate import validate_batch_windows
+    from nav2_social_mpc_controller_tpu.core.validate import make_window_validator
 
-    seen = set()
+    check = make_window_validator(cfg)
 
     @functools.wraps(fn)
     def checked(scenario, carry):
-        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
-        if key not in seen:
-            validate_batch_windows(cfg, scenario)
-            seen.add(key)
-            if len(seen) > 1024:  # bound the id cache for long campaigns
-                seen.clear()
-                seen.add(key)
+        check(scenario)
         return fn(scenario, carry)
 
     return checked
@@ -338,19 +332,13 @@ def make_step_batch_compacted(
     if not validate:
         return run
 
-    from nav2_social_mpc_controller_tpu.core.validate import validate_batch_windows
+    from nav2_social_mpc_controller_tpu.core.validate import make_window_validator
 
-    seen = set()
+    check = make_window_validator(cfg)
 
     @functools.wraps(run)
     def checked(scenario, carry):
-        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
-        if key not in seen:
-            validate_batch_windows(cfg, scenario)
-            seen.add(key)
-            if len(seen) > 1024:
-                seen.clear()
-                seen.add(key)
+        check(scenario)
         return run(scenario, carry)
 
     return checked

@@ -117,6 +117,26 @@ def validate_batch_windows(cfg, scenario) -> None:
     validate_scenario_windows(cfg, float(cm), float(es))
 
 
+def make_window_validator(cfg):
+    """Identity-cached validate_batch_windows: returns check(scenario) that
+    runs the hard window check once per distinct resolution buffer, so
+    steady-state ticks that reuse scenario buffers pay nothing. The cache
+    HOLDS the keyed resolution arrays (not just their ids) — otherwise a
+    freed buffer's id could be recycled by a new, never-validated array and
+    silently skip the check this wrapper exists to guarantee (ADVICE r4)."""
+    cache = {}
+
+    def check(scenario) -> None:
+        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
+        if key not in cache:
+            validate_batch_windows(cfg, scenario)
+            if len(cache) >= 1024:  # bound the cache for long campaigns
+                cache.clear()
+            cache[key] = (scenario.costmap.resolution, scenario.esdf.resolution)
+
+    return check
+
+
 def validate_scenario_windows(cfg, costmap_resolution, esdf_resolution) -> None:
     """Hard check at a host boundary (concrete resolutions required): raises
     ValueError when a configured window is smaller than its exactness bound,

@@ -645,6 +645,25 @@ def _fused_batched(cfg, dims, u, rows, n_rows, proj, present, cmd, cmo, cmr,
     )
 
 
+def _fused_dispatch_ok(cfg, u, backend=None) -> bool:
+    """Whether the batched fused-kernel path may serve this (cfg, u):
+    batched f32 on TPU AND a critic set the kernel fully implements.
+    can_fuse folds in the latent-critic weights (AngleCost/CurvatureCost are
+    NOT in the kernel) and the SOCIAL_MPC_DISABLE_FUSED escape hatch — a
+    config the kernel cannot represent must take the reference linearize
+    path even under vmap (ADVICE r4: the weight check was previously only
+    applied by solve_prepared, so make_step_batch_compacted could dispatch
+    the kernel on a latent-weight config)."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        u.dtype == jnp.float32
+        and backend == "tpu"
+        and u.ndim == 2
+        and can_fuse(cfg)
+    )
+
+
 def make_value_grad_op(cfg, dims):
     """The custom_vmap value-grad op: op(u, rows, n_rows, proj, present,
     cm_data, cm_origin, cm_res) -> (cost, g, jtj). Unbatched (and CPU /
@@ -666,15 +685,7 @@ def make_value_grad_op(cfg, dims):
             for a, bt in zip(args, in_batched)
         ]
         u = args[0]
-        import os
-
-        fused_ok = (
-            u.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            and u.ndim == 2
-            and os.environ.get("SOCIAL_MPC_DISABLE_FUSED") != "1"
-        )
-        if fused_ok:
+        if _fused_dispatch_ok(cfg, u):
             return _fused_batched(cfg, dims, *args), out_batched
         return (
             jax.vmap(functools.partial(_ref_value_grad, cfg, dims))(*args),

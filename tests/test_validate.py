@@ -160,3 +160,51 @@ def test_small_esdf_window_falls_back_exactly():
         bad = run(8)
     good = run(0)
     np.testing.assert_array_equal(np.asarray(bad), np.asarray(good))
+
+
+def test_window_validator_cache_holds_references():
+    """ADVICE r4 (low): the identity cache must HOLD the keyed resolution
+    arrays — an id()-only cache can be fooled when a freed buffer's id is
+    recycled by a new, never-validated array."""
+    from nav2_social_mpc_controller_tpu.core.validate import make_window_validator
+    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario_batch
+
+    cfg = benchmark_social_config()
+    scb = make_scenario_batch(cfg, 2, n_valid_people=0, grid_hw=(64, 64))
+    check = make_window_validator(cfg)
+    check(scb)
+    # The cache keeps the arrays alive: their refcount includes the cache.
+    cache = check.__closure__[0].cell_contents
+    key = (id(scb.costmap.resolution), id(scb.esdf.resolution))
+    assert cache[key][0] is scb.costmap.resolution
+    assert cache[key][1] is scb.esdf.resolution
+    # A DIFFERENT (bad) batch still validates and raises.
+    cfg_bad = _with_windows(cfg, obstacle=16)
+    check_bad = make_window_validator(cfg_bad)
+    with pytest.raises(ValueError, match="obstacle_window_cells"):
+        check_bad(scb)
+
+
+def test_fused_dispatch_respects_latent_weights():
+    """ADVICE r4 (medium): the custom_vmap rule must refuse the fused kernel
+    for configs with latent-critic weights (AngleCost/CurvatureCost are not
+    implemented in the kernel), independent of who built the op — previously
+    only solve_prepared guarded this, so make_step_batch_compacted could
+    dispatch the kernel on such a config."""
+    import dataclasses as dc
+
+    from nav2_social_mpc_controller_tpu.ops.fused_iter import _fused_dispatch_ok
+
+    cfg = benchmark_social_config()
+    u = jnp.zeros((4, 6), jnp.float32)
+    assert _fused_dispatch_ok(cfg, u, backend="tpu")
+    assert not _fused_dispatch_ok(cfg, u, backend="cpu")
+    assert not _fused_dispatch_ok(cfg, jnp.zeros((6,), jnp.float32), backend="tpu")
+    assert not _fused_dispatch_ok(cfg, u.astype(jnp.float64), backend="tpu")
+
+    w_lat = dc.replace(cfg.optimizer.weights, pure_angle_weight=1.0)
+    cfg_lat = dc.replace(cfg, optimizer=dc.replace(cfg.optimizer, weights=w_lat))
+    assert not _fused_dispatch_ok(cfg_lat, u, backend="tpu")
+    w_cur = dc.replace(cfg.optimizer.weights, curvature_weight=1.0)
+    cfg_cur = dc.replace(cfg, optimizer=dc.replace(cfg.optimizer, weights=w_cur))
+    assert not _fused_dispatch_ok(cfg_cur, u, backend="tpu")
