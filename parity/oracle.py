@@ -3,8 +3,13 @@ reimplementation of the exact reference semantics
 (PIC4SeR/nav2_social_mpc_controller), used ONLY to generate golden values for
 parity tests of the TPU framework. It shares no code with the JAX
 implementation: rollouts are re-integrated per residual exactly like
-computeUpdatedStateRedux (update_state.hpp:38-63), Jacobians are
-finite-difference, branches are real Python branches.
+computeUpdatedStateRedux (update_state.hpp:38-63), Jacobians are exact
+forward-mode dual numbers with Ceres-jet semantics (parity/jets.py — the
+reference differentiates every critic with ceres::Jet via
+DynamicAutoDiffCostFunction), branches are real Python branches. The
+residual math is scalar-generic: the identical code evaluates over plain
+floats (golden residual values) and over jets (Jacobians), so the two can
+never drift apart.
 
 Structured after the C++ call stack (SURVEY.md section 3):
   oracle_trajectorize   <- PathTrajectorizer::trajectorize
@@ -19,6 +24,10 @@ import math
 
 import numpy as np
 
+from parity.jets import Jet, jatan2, jcos, jexp, jsin, jsqrt
+from parity.jets import val as _val
+from parity.jets import value_and_jacobian
+
 # ---------------------------------------------------------------- helpers
 
 
@@ -31,7 +40,18 @@ def wrap(a):
 
 
 def wrap_atan2(a):
-    return math.atan2(math.sin(a), math.cos(a))
+    return jatan2(jsin(a), jcos(a))
+
+
+def _norm2(v2):
+    """Euclidean norm of a length-2 vector, scalar-generic (np.linalg.norm
+    rejects object arrays of jets; for 2 elements this is the same
+    sqrt(x*x + y*y))."""
+    return jsqrt(v2[0] * v2[0] + v2[1] * v2[1])
+
+
+def _dot2(a, b):
+    return a[0] * b[0] + a[1] * b[1]
 
 
 def catmull(p0, p1, p2, p3, x):
@@ -41,9 +61,12 @@ def catmull(p0, p1, p2, p3, x):
 
 
 def oracle_bicubic(grid, r, c):
+    # Cell selection on the primal: ceres::BiCubicInterpolator picks the
+    # stencil from the jet's scalar part and differentiates the cell-local
+    # spline polynomial, exactly as the jet flows through `catmull` below.
     h, w = grid.shape
-    r0 = int(math.floor(r))
-    c0 = int(math.floor(c))
+    r0 = int(math.floor(_val(r)))
+    c0 = int(math.floor(_val(c)))
     fr, fc = r - r0, c - c0
 
     def at(dr, dc):
@@ -274,9 +297,9 @@ def _update_state_redux(pose0, u_blocks, dt, i, control_horizon, block_size):
     x, y, th = float(pose0[0]), float(pose0[1]), float(pose0[2])
     for j in range(i + 1):
         b = j // block_size if j < control_horizon else (control_horizon - 1) // block_size
-        x += u_blocks[b][0] * math.cos(th) * dt
-        y += u_blocks[b][0] * math.sin(th) * dt
-        th += u_blocks[b][1] * dt
+        x = x + u_blocks[b][0] * jcos(th) * dt
+        y = y + u_blocks[b][0] * jsin(th) * dt
+        th = th + u_blocks[b][1] * dt
     return x, y, th
 
 
@@ -305,14 +328,17 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
     goal_yaw = rows[n_rows - 1][2]
     cm_data, cm_origin, cm_res = costmap
 
-    sw = np.zeros(s_max)
-    aa = np.zeros(s_max)
-    px = np.zeros(s_max)
-    vel = np.zeros(s_max)
-    ga = np.zeros(s_max)
-    pf = np.zeros(s_max)
-    pa = np.zeros(s_max)
-    ob = np.zeros(s_max)
+    # Object arrays when u carries jets (parity/jets.py): the SAME residual
+    # code below then yields exact Jacobian rows alongside the primals.
+    dt_out = object if np.asarray(u_blocks).dtype == object else np.float64
+    sw = np.zeros(s_max, dtype=dt_out)
+    aa = np.zeros(s_max, dtype=dt_out)
+    px = np.zeros(s_max, dtype=dt_out)
+    vel = np.zeros(s_max, dtype=dt_out)
+    ga = np.zeros(s_max, dtype=dt_out)
+    pf = np.zeros(s_max, dtype=dt_out)
+    pa = np.zeros(s_max, dtype=dt_out)
+    ob = np.zeros(s_max, dtype=dt_out)
 
     for i in range(min(n_vel, s_max)):
         nx, ny, nth = _update_state_redux(pose0, u_blocks, dt, i, h, bl)
@@ -323,20 +349,20 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
         if people_present:
             # social work
             r_pos = np.array([nx, ny])
-            r_vel = np.array([rv * math.cos(nth), rv * math.sin(nth)])
+            r_vel = np.array([rv * jcos(nth), rv * jsin(nth)])
             wr_f = np.zeros(2)
             for a in agents:
                 if a[3] == -1:
                     continue
-                wr_f += _pair_social_force(r_pos, r_vel, a)
-            wr = float(wr_f @ wr_f)
+                wr_f = wr_f + _pair_social_force(r_pos, r_vel, a)
+            wr = _dot2(wr_f, wr_f)
             wp = 0.0
             robot_as_agent = np.array([nx, ny, nth, 0.0, rv, rw])
             for a in agents:
                 me_pos = np.array([a[0], a[1]])
                 me_vel = np.array([a[4] * math.cos(a[2]), a[4] * math.sin(a[2])])
                 f = _pair_social_force(me_pos, me_vel, robot_as_agent)
-                wp += float(f @ f)
+                wp = wp + _dot2(f, f)
             sw[i] = w.social_weight * (wr + wp + 1e-6)
 
             # agent angle
@@ -349,7 +375,11 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
                     continue
                 d2 = (nx - a[0]) ** 2 + (ny - a[1]) ** 2
                 min_sq = min(min_sq, d2)
-            px[i] = w.proxemics_weight * 3.0 * math.exp(-min_sq / 0.25) if np.isfinite(min_sq) else 0.0
+            px[i] = (
+                w.proxemics_weight * 3.0 * jexp(-min_sq / 0.25)
+                if np.isfinite(_val(min_sq))
+                else 0.0
+            )
 
         if i < h:
             vel[i] = w.velocity_weight * (cfg.optimizer.desired_linear_vel - rv) ** 2
@@ -359,13 +389,13 @@ def oracle_residuals(cfg, rows, people_proj, people_present, costmap, u_blocks):
         pf[i] = w.distance_weight * d2f * d2f
         d2p = (nx - rows[i + 1][0]) ** 2 + (ny - rows[i + 1][1]) ** 2
         pa[i] = w.angle_weight * d2p * d2p
-        fx = nx + 0.25 * math.cos(nth)
-        fy = ny + 0.25 * math.sin(nth)
+        fx = nx + 0.25 * jcos(nth)
+        fy = ny + 0.25 * jsin(nth)
         gc = (fx - cm_origin[0]) / cm_res
         gr = (fy - cm_origin[1]) / cm_res
         ob[i] = w.obstacle_weight * oracle_bicubic(cm_data, gr, gc)
 
-    vf = np.zeros(n_vf)
+    vf = np.zeros(n_vf, dtype=dt_out)
     for p in range(n_vf):
         if p + 1 < h // bl and p + 1 < n_vel:
             dv = u_blocks[p + 1][0] - u_blocks[p][0]
@@ -381,23 +411,23 @@ def _pair_social_force(me_pos, me_vel, other_row):
     lam, gamma, n_p, nprime, factor = SFM_PARAMS
     a_pos = np.array([other_row[0], other_row[1]])
     a_vel = np.array(
-        [other_row[4] * math.cos(other_row[2]), other_row[4] * math.sin(other_row[2])]
+        [other_row[4] * jcos(other_row[2]), other_row[4] * jsin(other_row[2])]
     )
     diff = me_pos - a_pos
-    dn = np.linalg.norm(diff)
+    dn = _norm2(diff)
     if dn < 1e-6:
         diff = np.array([1e-6, 0.0])
-        dn = np.linalg.norm(diff)
+        dn = _norm2(diff)
     diff_dir = diff / dn
     vel_diff = me_vel - a_vel
     inter = lam * vel_diff + diff_dir
-    ilen = np.linalg.norm(inter)
+    ilen = _norm2(inter)
     idir = inter / ilen
-    theta = wrap(math.atan2(diff_dir[1], diff_dir[0]) - math.atan2(idir[1], idir[0]))
+    theta = wrap(jatan2(diff_dir[1], diff_dir[0]) - jatan2(idir[1], idir[0]))
     b = gamma * ilen
-    fvel = -math.exp(-dn / b - (nprime * b * theta) ** 2)
+    fvel = -jexp(-dn / b - (nprime * b * theta) ** 2)
     sign = 1.0 if theta > 0 else -1.0
-    fang = -sign * math.exp(-dn / b - (n_p * b * theta) ** 2)
+    fang = -sign * jexp(-dn / b - (n_p * b * theta) ** 2)
     left = np.array([-idir[1], idir[0]])
     return factor * (fvel * idir + fang * left)
 
@@ -625,8 +655,16 @@ def oracle_step(cfg, plan_pts, robot_pose, speed, people_rows, costmap, esdf, me
 
 
 def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol,
-                    return_iters=False, jacobi_scaling=False):
-    """Ceres-style LM trust region with finite-difference Jacobian.
+                    return_iters=False, jacobi_scaling=False, jacobian="jet"):
+    """Ceres-style LM trust region with exact dual-number Jacobians.
+
+    jacobian: "jet" (default) evaluates residual_fn over jet-seeded u
+    (parity/jets.py) — exact forward AD with the same semantics as the
+    ceres::Jet autodiff the reference uses; residual_fn must be
+    scalar-generic (oracle_residuals is). "fd" keeps the historical central
+    difference (eps = 1e-7) as a measurement instrument — the jacobi-scaling
+    study used its ~1e-7 probe noise as the attribution floor (VERDICT r4
+    missing-item 2), which the jet path eliminates.
 
     jacobi_scaling replicates Ceres' default column scaling
     (trust_region_minimizer.cc EvaluateGradientAndJacobian): at iteration 0
@@ -649,21 +687,26 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
         r = residual_fn(uu)
         return 0.5 * float(r @ r)
 
-    def jac(uu):
-        eps = 1e-7
-        r0 = residual_fn(uu)
-        J = np.zeros((len(r0), len(uu)))
-        for k in range(len(uu)):
-            e = np.zeros(len(uu))
-            e[k] = eps
-            J[:, k] = (residual_fn(uu + e) - residual_fn(uu - e)) / (2 * eps)
-        return J
+    if jacobian == "jet":
+        def resid_jac(uu):
+            return value_and_jacobian(residual_fn, uu)
+    elif jacobian == "fd":
+        def resid_jac(uu):
+            eps = 1e-7
+            r0 = residual_fn(uu)
+            J = np.zeros((len(r0), len(uu)))
+            for k in range(len(uu)):
+                e = np.zeros(len(uu))
+                e[k] = eps
+                J[:, k] = (residual_fn(uu + e) - residual_fn(uu - e)) / (2 * eps)
+            return r0, J
+    else:
+        raise ValueError(f"jacobian must be 'jet' or 'fd', got {jacobian!r}")
 
     c = cost(u)
     for _ in range(max_iter):
         iters_run += 1
-        r = residual_fn(u)
-        J = jac(u)
+        r, J = resid_jac(u)
         g = J.T @ r
         if np.max(np.abs(g)) <= grad_tol:
             break

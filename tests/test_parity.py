@@ -1,9 +1,9 @@
 """Golden parity tests: the JAX framework vs the independent NumPy oracle
 (parity/oracle.py), in float64, per SURVEY.md section 4b. The oracle
 re-integrates rollouts per residual exactly like the reference
-(computeUpdatedStateRedux) and uses finite-difference Jacobians, so agreement
-here validates both the shared-rollout restructuring and the analytic/AD
-derivative path."""
+(computeUpdatedStateRedux) and differentiates with exact dual numbers
+(Ceres-jet semantics, parity/jets.py), so agreement here validates both the
+shared-rollout restructuring and the analytic/AD derivative path."""
 
 import math
 
