@@ -584,10 +584,17 @@ def oracle_optimize(cfg, poses, cmds, people_status, people_present, costmap, es
             cfg, rows, people_proj, people_present, cm, u_flat.reshape(n_blocks, 2)
         )
 
-    u_flat, _cost = oracle_lm_solve(
+    u_flat, _cost, n_iters, term = oracle_lm_solve(
         rfn, u0.reshape(-1), lo, hi,
         opt.max_iterations, opt.fn_tol, opt.gradient_tol, opt.param_tol,
+        return_iters=True, return_term=True,
     )
+    # Solve telemetry for study tools (parity_on_chip / chaos_floor): the
+    # reference logs the equivalent via Summary::BriefReport
+    # (optimizer.cpp:382). A lane is cap-bound when no tolerance fired.
+    memory["last_solve_iters"] = n_iters
+    memory["last_solve_term"] = term
+    memory["last_solve_capped"] = term == "max_iter"
     u = u_flat.reshape(n_blocks, 2)
 
     # Post-horizon extrapolation + block expansion (optimizer.cpp:389-419):
@@ -655,7 +662,8 @@ def oracle_step(cfg, plan_pts, robot_pose, speed, people_rows, costmap, esdf, me
 
 
 def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, param_tol,
-                    return_iters=False, jacobi_scaling=False, jacobian="jet"):
+                    return_iters=False, jacobi_scaling=False, jacobian="jet",
+                    return_term=False):
     """Ceres-style LM trust region with exact dual-number Jacobians.
 
     jacobian: "jet" (default) evaluates residual_fn over jet-seeded u
@@ -704,11 +712,13 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
         raise ValueError(f"jacobian must be 'jet' or 'fd', got {jacobian!r}")
 
     c = cost(u)
+    term = "max_iter"
     for _ in range(max_iter):
         iters_run += 1
         r, J = resid_jac(u)
         g = J.T @ r
         if np.max(np.abs(g)) <= grad_tol:
+            term = "grad_tol"
             break
         if jacobi_scaling and scale is None:
             scale = 1.0 / (1.0 + np.linalg.norm(J, axis=0))
@@ -748,14 +758,20 @@ def oracle_lm_solve(residual_fn, u0, lower, upper, max_iter, fn_tol, grad_tol, p
             unorm = np.linalg.norm(u)
             u, c = u_new, c_new
             if abs(accepted_change) <= fn_tol * (c + accepted_change):
+                term = "fn_tol"
                 break
             if step_norm <= param_tol * (unorm + param_tol):
+                term = "param_tol"
                 break
         else:
             radius /= decrease_factor
             decrease_factor *= 2
             if radius < 1e-32:
+                term = "min_radius"
                 break
+    out = (u, c)
     if return_iters:
-        return u, c, iters_run
-    return u, c
+        out = out + (iters_run,)
+    if return_term:
+        out = out + (term,)
+    return out

@@ -92,14 +92,11 @@ def build_problem(cfg, seed, n_people):
 
 
 def clamp_diagnostics(orfn, u0):
-    """diag(J^T J) at u0 in unscaled and scaled space vs the [1e-6,1e32] clamp."""
-    eps = 1e-7
-    r0 = orfn(u0)
-    J = np.zeros((len(r0), len(u0)))
-    for k in range(len(u0)):
-        e = np.zeros(len(u0))
-        e[k] = eps
-        J[:, k] = (orfn(u0 + e) - orfn(u0 - e)) / (2 * eps)
+    """diag(J^T J) at u0 in unscaled and scaled space vs the [1e-6,1e32]
+    clamp — exact jet Jacobian (parity/jets.py), no FD probe noise."""
+    from parity.jets import value_and_jacobian
+
+    _r0, J = value_and_jacobian(orfn, u0)
     d = np.sum(J * J, axis=0)
     s = 1.0 / (1.0 + np.sqrt(d))
     return float(d.min()), float(d.max()), float((s * s * d).min()), float((s * s * d).max())
