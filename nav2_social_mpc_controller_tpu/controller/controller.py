@@ -388,12 +388,14 @@ class SocialMPCController:
             # fallback cannot fire, so a misconfigured window must fail HERE
             # rather than silently corrupt results.
             from nav2_social_mpc_controller_tpu.core.validate import (
+                check_costmap_bf16_exact,
                 validate_scenario_windows,
             )
 
             validate_scenario_windows(
                 self.cfg, scenario.costmap.resolution, scenario.esdf.resolution
             )
+            check_costmap_bf16_exact(scenario.costmap.data)
             self._windows_validated = True
         if self._plan is not None:
             scenario = scenario._replace(path=self._plan)

@@ -117,6 +117,36 @@ def validate_batch_windows(cfg, scenario) -> None:
     validate_scenario_windows(cfg, float(cm), float(es))
 
 
+def check_costmap_bf16_exact(costmap_data) -> None:
+    """Guard for the packed bicubic kernel's 'split3' dot mode
+    (ops/bicubic_pallas.py): its 3-pass bf16 MXU product is f32-exact ONLY
+    when every costmap value is exactly representable in bfloat16 — true by
+    construction for the reference's u8 cost grids (ceres::Grid2D<u_char>
+    over Costmap2D, optimizer.cpp:167-170), where values are integers
+    <= 255. A float-valued costmap would silently lose ~1.5e-5 relative in
+    the obstacle stencil, so it must fail loudly here; set
+    SOCIAL_MPC_BICUBIC_DOT=highest to run such grids with the 6-pass dot."""
+    import ml_dtypes
+    import numpy as np
+
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import resolve_dot_mode
+
+    if resolve_dot_mode() != "split3":
+        return
+    data = np.asarray(costmap_data, dtype=np.float32)
+    rt = data.astype(ml_dtypes.bfloat16).astype(np.float32)
+    if not np.array_equal(rt, data):
+        bad = float(np.max(np.abs(rt - data)))
+        raise ValueError(
+            "costmap values are not exactly bfloat16-representable (max "
+            f"round-trip error {bad:.3e}): the packed bicubic kernel's "
+            "'split3' dot mode requires u8-style integer cost values (the "
+            "reference's Grid2D<u_char> domain). Set "
+            "SOCIAL_MPC_BICUBIC_DOT=highest to use the exact 6-pass dot "
+            "for float-valued grids."
+        )
+
+
 def make_window_validator(cfg):
     """Identity-cached validate_batch_windows: returns check(scenario) that
     runs the hard window check once per distinct resolution buffer, so
@@ -127,12 +157,21 @@ def make_window_validator(cfg):
     cache = {}
 
     def check(scenario) -> None:
-        key = (id(scenario.costmap.resolution), id(scenario.esdf.resolution))
+        key = (
+            id(scenario.costmap.resolution),
+            id(scenario.esdf.resolution),
+            id(scenario.costmap.data),
+        )
         if key not in cache:
             validate_batch_windows(cfg, scenario)
+            check_costmap_bf16_exact(scenario.costmap.data)
             if len(cache) >= 1024:  # bound the cache for long campaigns
                 cache.clear()
-            cache[key] = (scenario.costmap.resolution, scenario.esdf.resolution)
+            cache[key] = (
+                scenario.costmap.resolution,
+                scenario.esdf.resolution,
+                scenario.costmap.data,
+            )
 
     return check
 

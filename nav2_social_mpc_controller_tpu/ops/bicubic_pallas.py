@@ -98,7 +98,7 @@ def _linearize_kernel(use_bf16: bool, win_t_ref, rows_ref, cols_ref,
         drow_ref[b, :] = jnp.sum(rpg * c_t, axis=0)
         dcol_ref[b, :] = jnp.sum(rg * cp_t, axis=0)
 
-def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_ref,
+def _packed_kernel(dot_mode: str, g: int, s_pad: int, win_ref, rows_ref, cols_ref,
                    out1_ref, out2_ref):
     """Lane-packed variant: G scenarios share each stencil tile (lanes =
     2*s_pad*G).
@@ -122,7 +122,7 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
     325 -> 291 us/call at B=4096 (168 -> 155 at B=1024) on v5e."""
     gb, h, w = win_ref.shape  # gb = G * groups_per_block scenarios
     lanes = 2 * s_pad * g
-    dot_dtype = jnp.bfloat16 if use_bf16 else win_ref.dtype
+    dot_dtype = jnp.bfloat16 if dot_mode == "bf16" else win_ref.dtype
     groups_per_block = gb // g
 
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
@@ -169,12 +169,35 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
 
         # (G*H, W) @ (W, lanes) — stacked natural-layout windows on sublanes.
         a_stack = win_ref[q * g:(q + 1) * g].reshape(g * h, w)
-        res = jnp.dot(
-            a_stack.astype(dot_dtype), c_big.astype(dot_dtype),
-            preferred_element_type=jnp.float32,
-            # Mosaic's f32 dot truncates to bf16 unless told otherwise.
-            precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
-        )  # (G*H, lanes): value half = data@c, deriv half = data@cp
+        if dot_mode == "split3":
+            # Round-5 MXU halving: the costmap windows are u8-valued
+            # (Grid2D<u_char> in the reference, obstacle_cost_function.cpp),
+            # i.e. integers <= 255 — EXACTLY representable in bfloat16 (8
+            # mantissa bits cover integers to 256). Splitting only the
+            # stencil side into three bf16 terms (hi/mid/lo = its full 24
+            # mantissa bits) makes the product f32-exact in THREE bf16 MXU
+            # passes instead of HIGHEST's six; the three dots run as ONE
+            # lane-concatenated (G*H, W) @ (W, 3*lanes) MXU call. The
+            # bf16-exactness of the window is validated at the host
+            # boundary (core/validate.check_costmap_bf16_exact); the
+            # SOCIAL_MPC_BICUBIC_DOT=highest escape hatch restores the
+            # 6-pass dot for non-integer grids.
+            a_bf = a_stack.astype(jnp.bfloat16)
+            c_hi32 = c_big.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = c_big - c_hi32
+            c_mid32 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            cc = jnp.concatenate(
+                [c_hi32, c_mid32, r1 - c_mid32], axis=1
+            ).astype(jnp.bfloat16)  # (W, 3*lanes)
+            r3 = jnp.dot(a_bf, cc, preferred_element_type=jnp.float32)
+            res = (r3[:, :lanes] + r3[:, lanes:2 * lanes]) + r3[:, 2 * lanes:]
+        else:
+            res = jnp.dot(
+                a_stack.astype(dot_dtype), c_big.astype(dot_dtype),
+                preferred_element_type=jnp.float32,
+                # Mosaic's f32 dot truncates to bf16 unless told otherwise.
+                precision=None if dot_mode == "bf16" else jax.lax.Precision.HIGHEST,
+            )  # (G*H, lanes): value half = data@c, deriv half = data@cp
         # Fold: lane segment k only consumes window k's rows.
         res_g = res.reshape(g, h, lanes)
         gc = res_g[0] * fold_masks[0]
@@ -185,7 +208,23 @@ def _packed_kernel(use_bf16: bool, g: int, s_pad: int, win_ref, rows_ref, cols_r
         out2_ref[q, :] = jnp.sum(gc * rp_st, axis=0)  # drow | (drdc)
 
 
-def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=False):
+def resolve_dot_mode(dot_mode=None):
+    """Production dot mode for the packed kernel: 'split3' (default — 3
+    exact bf16 passes, requires bf16-exact window values, validated at the
+    host boundary), 'highest' (6-pass f32), or 'bf16' (truncating, study
+    only). SOCIAL_MPC_BICUBIC_DOT overrides, e.g. =highest for float-valued
+    costmaps."""
+    import os
+
+    if dot_mode is None:
+        dot_mode = os.environ.get("SOCIAL_MPC_BICUBIC_DOT", "split3")
+    if dot_mode not in ("split3", "highest", "bf16"):
+        raise ValueError(f"bad bicubic dot mode {dot_mode!r}")
+    return dot_mode
+
+
+def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=False,
+                                    dot_mode=None):
     """Lane-packed batched bicubic sample with derivatives: G = 2 scenarios
     share each stencil tile (lanes = 4*ceil32(S): 128 for the benchmark
     configs' S=29, 256 for the H=36 stress config), so the stencil VPU work
@@ -196,6 +235,7 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=F
 
     win: (B, H, W) f32; rowf/colf: (B, S) f32. Returns (val, d_row, d_col).
     """
+    dot_mode = "bf16" if use_bf16 else resolve_dot_mode(dot_mode)
     b, h, w = win.shape
     s = rowf.shape[1]
     s_pad = max(32, -(-s // 32) * 32)  # lane half-segment
@@ -230,14 +270,16 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=F
     # measured FASTER than the bf16 path (651 vs 823 us/call at B=1024 —
     # the cast/relayout outweighs the halved window traffic) and is exact to
     # 1.7e-7 vs the f64 stencil; bf16 rounded the Catmull-Rom weights to
-    # ~3e-3 relative (caught by the round-4 on-chip parity study).
-    if use_bf16:
+    # ~3e-3 relative (caught by the round-4 on-chip parity study). Round 5
+    # adds 'split3' (see _packed_kernel), which keeps that exactness at half
+    # the MXU passes for the u8-valued reference costmaps.
+    if dot_mode == "bf16":
         win = win.astype(jnp.bfloat16)
 
     n_groups = b_pad // g
     out_shape = jax.ShapeDtypeStruct((n_groups, lanes), rowf.dtype)
     out1, out2 = pl.pallas_call(
-        functools.partial(_packed_kernel, use_bf16, g, s_pad),
+        functools.partial(_packed_kernel, dot_mode, g, s_pad),
         out_shape=(out_shape, out_shape),
         grid=(b_pad // gb,),
         in_specs=[

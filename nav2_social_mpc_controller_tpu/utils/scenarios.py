@@ -68,7 +68,13 @@ def make_people(n_agents: int, n_valid: int, rng=None, dtype=np.float32, spread=
 
 
 def make_costmap(h: int, w: int, resolution=0.05, origin=(-1.0, -3.0), obstacles=(), dtype=np.float32):
-    """Costmap with Gaussian-inflated obstacle blobs (0..254 like nav2)."""
+    """Costmap with Gaussian-inflated obstacle blobs (0..254 like nav2).
+
+    Values are rounded to INTEGERS: nav2's Costmap2D stores unsigned char
+    cost (what the reference interpolates, ceres::Grid2D<u_char>,
+    optimizer.cpp:167-170), so integer-valued grids are the faithful
+    domain — and what the packed bicubic kernel's 'split3' exact-bf16 dot
+    assumes (core/validate.check_costmap_bf16_exact)."""
     data = np.zeros((h, w), dtype)
     yy, xx = np.mgrid[0:h, 0:w]
     for (ox_w, oy_w, radius_m) in obstacles:
@@ -78,7 +84,7 @@ def make_costmap(h: int, w: int, resolution=0.05, origin=(-1.0, -3.0), obstacles
         d2 = (xx - cx) ** 2 + (yy - cy) ** 2
         data = np.maximum(data, 254.0 * np.exp(-d2 / max(2.0 * r * r, 1e-6)))
     return Costmap(
-        data=data.astype(dtype),
+        data=np.rint(data).astype(dtype),
         origin=np.asarray(origin, dtype),
         resolution=np.asarray(resolution, dtype),
     )

@@ -12,8 +12,13 @@ from nav2_social_mpc_controller_tpu.world.grid import (
 )
 
 
-def _random_case(rng, b, s, h, w, margin=2.0):
+def _random_case(rng, b, s, h, w, margin=2.0, integer_grid=True):
+    # Integer-valued grids are the production domain (nav2 Costmap2D is
+    # unsigned char; the reference interpolates Grid2D<u_char>) and the
+    # precondition of the packed kernel's default 'split3' dot mode.
     grid = rng.uniform(0.0, 254.0, size=(b, h, w)).astype(np.float32)
+    if integer_grid:
+        grid = np.rint(grid)
     # Include out-of-range coords to exercise border clamping.
     rowf = rng.uniform(-margin, h - 1 + margin, size=(b, s)).astype(np.float32)
     colf = rng.uniform(-margin, w - 1 + margin, size=(b, s)).astype(np.float32)
@@ -166,3 +171,57 @@ def test_linearize_inside_lm_transform_stack():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ev), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tr), np.asarray(er), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tc), np.asarray(ec), rtol=1e-4, atol=1e-3)
+
+
+def test_packed_kernel_split3_exact_on_integer_grids():
+    """The default 'split3' dot (3 bf16 MXU passes) is f32-exact on
+    bf16-representable (integer u8) grids — matching the 6-pass HIGHEST dot
+    to f32 accumulation noise."""
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+        bicubic_linearize_pallas_packed,
+    )
+
+    rng = np.random.default_rng(20)
+    for b, s, h, w in [(9, 29, 64, 64), (4, 32, 48, 80)]:
+        grid, rowf, colf = _random_case(rng, b=b, s=s, h=h, w=w, margin=6.0)
+        v3, dr3, dc3 = bicubic_linearize_pallas_packed(
+            grid, rowf, colf, dot_mode="split3", interpret=True
+        )
+        vh, drh, dch = bicubic_linearize_pallas_packed(
+            grid, rowf, colf, dot_mode="highest", interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(v3), np.asarray(vh), rtol=1e-6, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dr3), np.asarray(drh), rtol=1e-6, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dc3), np.asarray(dch), rtol=1e-6, atol=2e-4)
+
+
+def test_split3_precondition_validated_at_host_boundary():
+    """A float-valued costmap must fail loudly before it can silently lose
+    ~1.5e-5 relative in the split3 dot (core/validate.check_costmap_bf16_exact);
+    integer grids pass; the escape hatch disables the check."""
+    import os
+
+    import pytest
+
+    from nav2_social_mpc_controller_tpu.core.validate import check_costmap_bf16_exact
+
+    check_costmap_bf16_exact(np.arange(255, dtype=np.float32).reshape(1, 255))
+    bad = np.array([[1.0003]], np.float32)
+    with pytest.raises(ValueError, match="bfloat16"):
+        check_costmap_bf16_exact(bad)
+    os.environ["SOCIAL_MPC_BICUBIC_DOT"] = "highest"
+    try:
+        check_costmap_bf16_exact(bad)  # no split3 -> no precondition
+    finally:
+        del os.environ["SOCIAL_MPC_BICUBIC_DOT"]
+
+
+def test_scenario_costmaps_are_integer_valued():
+    from nav2_social_mpc_controller_tpu.core.config import benchmark_social_config
+    from nav2_social_mpc_controller_tpu.core.validate import check_costmap_bf16_exact
+    from nav2_social_mpc_controller_tpu.utils.scenarios import make_scenario
+
+    sc = make_scenario(benchmark_social_config(), seed=0, n_valid_people=3)
+    data = np.asarray(sc.costmap.data)
+    assert np.array_equal(data, np.rint(data))
+    check_costmap_bf16_exact(data)
