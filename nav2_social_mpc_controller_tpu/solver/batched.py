@@ -98,10 +98,21 @@ def lm_solve_batch_compacted(
     st = jax.vmap(init_lane)(u0, *data)
     initial_cost = st.cost
 
+    # Same fused propose/commit ops as lm_solve's default path (the
+    # compacted solver already rejects jacobi_scaling and has no trace).
+    ops = None
+    if linear_solve is default_linear_solve:
+        from nav2_social_mpc_controller_tpu.solver.pallas_iter import (
+            make_commit_op,
+            make_propose_op,
+        )
+
+        ops = (make_propose_op(cfg), make_commit_op(cfg))
+
     def body_lane(st_l, lo_l, hi_l, *d_l):
         st2, _aux = lm_iteration(
             lambda u: value_grad_op(u, *d_l), lo_l, hi_l, cfg, linear_solve,
-            None, st_l,
+            None, st_l, ops=ops,
         )
         return st2
 

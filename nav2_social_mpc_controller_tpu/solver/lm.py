@@ -132,7 +132,7 @@ class _IterAux(NamedTuple):
 
 
 def lm_iteration(value_grad, lower, upper, cfg: LMConfig, linear_solve,
-                 jac_scale, st: "_LMState"):
+                 jac_scale, st: "_LMState", ops=None):
     """ONE per-lane LM trust-region iteration — the exact body of lm_solve's
     while-loop, factored out so the compacted batched solver
     (solver/batched.py) can run the IDENTICAL per-lane math under an
@@ -140,7 +140,34 @@ def lm_iteration(value_grad, lower, upper, cfg: LMConfig, linear_solve,
     carry), which is what makes gather/compact/scatter safe.
 
     Returns (new_state, _IterAux); new_state.trace passes through unchanged
-    (lm_solve layers the debug trace on top)."""
+    (lm_solve layers the debug trace on top).
+
+    ops: optional (propose_op, commit_op) pair from solver/pallas_iter.py —
+    custom_vmap ops whose per-lane semantics are THIS function's math and
+    whose batched f32 TPU execution runs two lane-batched Pallas kernels
+    instead of ~45 small XLA fusions. Passed only on the non-debug default
+    path (lm_solve gates on trace/linear_solve/jacobi_scaling); the aux
+    tuple is zero-filled there since only the debug trace consumes it."""
+    if ops is not None and jac_scale is None:
+        propose_op, commit_op = ops
+        u_new, delta, model_change = propose_op(
+            st.u, st.g, st.jtj, st.radius, lower, upper
+        )
+        new_cost, g_new, jtj_new = value_grad(u_new)
+        (u, cost, g, jtj, radius, decrease, iters, done, term, failed) = commit_op(
+            st.u, st.cost, st.g, st.jtj, st.radius, st.decrease_factor, st.iters,
+            st.done, st.term, st.failed, u_new, delta, model_change, new_cost,
+            g_new, jtj_new,
+        )
+        st_new = _LMState(
+            u=u, cost=cost, g=g, jtj=jtj, radius=radius, decrease_factor=decrease,
+            iters=iters, done=done, term=term, failed=failed, trace=st.trace,
+        )
+        zero = jnp.zeros_like(st.cost)
+        return st_new, _IterAux(
+            rho=zero, actual_change=zero, step_norm=zero,
+            accept=st.done & False, active=~st.done,
+        )
     g = st.g
     jtj = st.jtj
     dtype = st.u.dtype
@@ -317,9 +344,25 @@ def lm_solve(
         else None
     )
 
+    # Fused iteration ops (solver/pallas_iter.py) on the default non-debug
+    # path: per-lane semantics identical; batched f32 TPU execution collapses
+    # the trust-region bookkeeping + damped Cholesky into two Pallas kernels.
+    ops = None
+    if (
+        trace_len == 0
+        and linear_solve is default_linear_solve
+        and not cfg.jacobi_scaling
+    ):
+        from nav2_social_mpc_controller_tpu.solver.pallas_iter import (
+            make_commit_op,
+            make_propose_op,
+        )
+
+        ops = (make_propose_op(cfg), make_commit_op(cfg))
+
     def body(st: _LMState) -> _LMState:
         st_new, aux = lm_iteration(
-            value_grad, lower, upper, cfg, linear_solve, jac_scale, st
+            value_grad, lower, upper, cfg, linear_solve, jac_scale, st, ops=ops
         )
 
         trace = st.trace
