@@ -25,12 +25,19 @@ tests/test_compaction.py::test_compacted_matches_plain_solver_exactly).
 No reference counterpart — Ceres solves ONE problem; this is the
 framework's own batching economics.
 
-Capacity tuning: a lane heading for the iteration cap stays ACTIVE until
-iters == max_iterations, so `capacity` must exceed the expected
-cap-bound lane fraction of the workload — below it, phase 1 never
-triggers and the scheme degenerates to the plain solver plus overhead
-(measured: warm-start social B=1024 at capacity 0.25 -> 172.7k solves/s,
-at 0.125 -> 64.9k; docs/performance.md).
+Round 5 makes the scheme MULTI-LEVEL (VERDICT r4 item 5): instead of one
+full-width phase gated on a single static capacity, the solver descends a
+geometric ladder of widths (B/2, B/4, ... down to the requested capacity),
+compacting at EVERY level whose trigger fires. This removes the measured
+capacity cliff: previously a capacity below the workload's cap-bound lane
+fraction meant the single trigger never fired and the solver degenerated
+to the plain path plus overhead (warm-start social B=1024: capacity 0.25
+-> 172.7k solves/s but capacity 0.125 -> 64.9k, WORSE than no compaction
+— docs/performance.md). With the ladder, the B/2 level triggers as soon
+as half the batch is done regardless of where the final capacity sits, so
+every prefix of the ladder that can pay does pay, and the worst case is
+the plain solver plus O(log B) gather/scatters and a per-iteration
+popcount — bounded small, pinned by the driver-benched sweep.
 """
 
 from typing import NamedTuple
@@ -121,31 +128,48 @@ def lm_solve_batch_compacted(
     def active_mask(s):
         return (~s.done) & (s.iters < cfg.max_iterations)
 
-    # Phase 1: full width while the active set exceeds the compacted
-    # capacity. Terminates: every iteration increments iters on active
-    # lanes, and active implies iters < max_iterations.
-    def cond1(s):
-        a = active_mask(s)
-        return jnp.any(a) & (jnp.sum(a) > capacity)
+    # Width ladder: geometric halves of B down to the requested capacity
+    # (inclusive). Each level runs while the active set exceeds the NEXT
+    # width, then compacts into it. Terminates: every iteration increments
+    # iters on active lanes, and active implies iters < max_iterations.
+    levels = []
+    width = b // 2
+    while width > capacity:
+        levels.append(width)
+        width = width // 2
+    levels.append(capacity)
 
-    st = jax.lax.while_loop(cond1, lambda s: vbody(s, lower, upper, *data), st)
+    st_full = st
+    idx = jnp.arange(b)  # current-level lane -> original lane
+    st_c, lo_c, hi_c, data_c = st, lower, upper, data
 
-    # Compact: stable sort puts the (<= capacity) active lanes first in
-    # original order; the tail beyond `capacity` is all done/capped.
-    perm = jnp.argsort(~active_mask(st), stable=True)  # False (active) sorts first
-    take = perm[:capacity]
-    st_c = jax.tree.map(lambda x: x[take], st)
-    lo_c = lower[take]
-    hi_c = upper[take]
-    data_c = tuple(x[take] for x in data)
+    for cap in levels:
+        def cond(s, _cap=cap):
+            a = active_mask(s)
+            return jnp.any(a) & (jnp.sum(a) > _cap)
 
-    def cond2(s):
+        st_c = jax.lax.while_loop(
+            cond, lambda s, _l=lo_c, _h=hi_c, _d=data_c: vbody(s, _l, _h, *_d), st_c
+        )
+        # Scatter this level's state back, then compact: a stable sort puts
+        # the (<= cap) active lanes first in original order; the tail beyond
+        # `cap` is all done/capped (indices unique by construction).
+        st_full = jax.tree.map(lambda full, comp: full.at[idx].set(comp), st_full, st_c)
+        perm = jnp.argsort(~active_mask(st_c), stable=True)  # active sorts first
+        take = perm[:cap]
+        idx = idx[take]
+        st_c = jax.tree.map(lambda x: x[take], st_c)
+        lo_c = lo_c[take]
+        hi_c = hi_c[take]
+        data_c = tuple(x[take] for x in data_c)
+
+    def cond_final(s):
         return jnp.any(active_mask(s))
 
-    st_c = jax.lax.while_loop(cond2, lambda s: vbody(s, lo_c, hi_c, *data_c), st_c)
-
-    # Scatter the compacted lanes back (indices are unique by construction).
-    st = jax.tree.map(lambda full, comp: full.at[take].set(comp), st, st_c)
+    st_c = jax.lax.while_loop(
+        cond_final, lambda s: vbody(s, lo_c, hi_c, *data_c), st_c
+    )
+    st = jax.tree.map(lambda full, comp: full.at[idx].set(comp), st_full, st_c)
 
     stats = SolveStats(
         iterations=st.iters,

@@ -296,7 +296,19 @@ def make_value_grad(residual_fn: Callable, d: int):
         # contractions in the loop body carry the same raised precision; the
         # damped-solve internals (Pallas lane Cholesky) are explicit f32
         # lane arithmetic, so no bf16 truncation hides there either.
-        hi = jax.lax.Precision.HIGHEST if d <= 8 else jax.lax.Precision.HIGH
+        # SOCIAL_MPC_NE_PRECISION=highest|high overrides the width-based
+        # choice — the stress36 parity-attribution arm (tools/parity_on_chip
+        # --ne-precision) uses it to isolate the D=12 HIGH (bf16_3x) normal
+        # equations as a mechanism. Read at trace time.
+        import os
+
+        override = os.environ.get("SOCIAL_MPC_NE_PRECISION")
+        if override == "highest":
+            hi = jax.lax.Precision.HIGHEST
+        elif override == "high":
+            hi = jax.lax.Precision.HIGH
+        else:
+            hi = jax.lax.Precision.HIGHEST if d <= 8 else jax.lax.Precision.HIGH
         g = jnp.matmul(j_rows, y, precision=hi)
         jtj = jnp.matmul(j_rows, j_rows.T, precision=hi)
         return cost, g, jtj
