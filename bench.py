@@ -120,15 +120,17 @@ def compile_program(cfg, scb, carry0, compaction=0.0):
             eps = (1e-6 * t).astype(scb.robot.pose.dtype)
             scb_t = scb._replace(robot=scb.robot._replace(pose=scb.robot.pose + eps))
             cmd, aux, carry = vstep(scb_t, carry)
-            return (carry, (cmd.linear_x[0], aux.solve.usable, aux.solve.iterations))
+            return (carry, (cmd.linear_x[0], aux.solve.usable, aux.solve.iterations,
+                            aux.solve.termination))
 
         out0 = (
             jnp.zeros((), scb.robot.pose.dtype),
             jnp.zeros((batch,), bool),
             jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
         )
-        carry, (v0, usable, iters) = jax.lax.fori_loop(0, n, tick, (carry, out0))
-        return carry, v0, usable, iters
+        carry, (v0, usable, iters, term) = jax.lax.fori_loop(0, n, tick, (carry, out0))
+        return carry, v0, usable, iters, term
 
     t0 = time.perf_counter()
     exe = run_ticks.lower(scb, carry0, jnp.int32(1)).compile()
@@ -143,21 +145,29 @@ def measure(exe, scb, carry0, iters, repeats):
 
     def timed(n):
         best = None
+        times = []
         for j in range(repeats):
             t0 = time.perf_counter()
-            carry, v0, usable, lm_iters = exe(scb, carry0, np.int32(n))
+            carry, v0, usable, lm_iters, term = exe(scb, carry0, np.int32(n))
             np.asarray(v0)  # fetch -> hard completion fence
             t = time.perf_counter() - t0
+            times.append(t)
             log(f"  n={n} attempt {j}: {t:.3f}s")
             if best is None or t < best[0]:
-                best = (t, usable, lm_iters)
-        return best
+                best = (t, usable, lm_iters, term)
+        return best, times
 
-    t_1, _, _ = timed(1)
-    t_n, usable, lm_iters = timed(iters)
+    (t_1, _, _, _), t1s = timed(1)
+    (t_n, usable, lm_iters, term), tns = timed(iters)
     noisy = t_n <= t_1
     per_tick = t_n / iters if noisy else (t_n - t_1) / (iters - 1)
-    return per_tick, t_1, t_n, noisy, usable, lm_iters
+    # Per-attempt per-tick estimates (against the best t_1): the attempt
+    # spread IS the tunnel jitter, reported as tick p50/p90 (VERDICT r4
+    # item 10).
+    per_tick_attempts = [
+        (t / iters if t <= t_1 else (t - t_1) / (iters - 1)) for t in tns
+    ]
+    return per_tick, t_1, t_n, noisy, usable, lm_iters, term, per_tick_attempts
 
 
 def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=None,
@@ -177,7 +187,7 @@ def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=No
 
     prof = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
     with prof:
-        per_tick, t_1, t_n, noisy, usable, lm_iters = measure(
+        per_tick, t_1, t_n, noisy, usable, lm_iters, term, pt_attempts = measure(
             exe, scb, carry0, iters, repeats
         )
     result = {
@@ -196,8 +206,32 @@ def run_config(name, batch, iters, repeats, profile_dir=None, warm_start_mode=No
         "compile_s": round(compile_s, 1),
         "usable_frac": float(np.mean(np.asarray(usable))),
         "mean_lm_iters": float(np.mean(np.asarray(lm_iters))),
+        # Tick-latency spread across attempts + lane split by termination
+        # class (VERDICT r4 item 10): cap-bound lanes (termination 0 =
+        # TERM_NO_CONVERGENCE) run to the iteration cap and set the batched
+        # while-loop's E[max]; warm-start/compaction work should be judged
+        # per population.
+        "tick_ms_p50": round(float(np.percentile(pt_attempts, 50)) * 1e3, 3),
+        "tick_ms_p90": round(float(np.percentile(pt_attempts, 90)) * 1e3, 3),
+        "termination_split": _termination_split(term, lm_iters),
     }
     return result, (cfg, exe)
+
+
+def _termination_split(term, lm_iters):
+    term = np.asarray(term)
+    it = np.asarray(lm_iters)
+    capped = term == 0  # solver.lm.TERM_NO_CONVERGENCE
+    out = {}
+    for name, mask in (("converged", ~capped), ("cap_bound", capped)):
+        if mask.any():
+            out[name] = {
+                "frac": round(float(np.mean(mask)), 4),
+                "mean_iters": round(float(np.mean(it[mask])), 2),
+            }
+        else:
+            out[name] = {"frac": 0.0, "mean_iters": None}
+    return out
 
 
 def run_latency_curve(name, batches, iters, repeats):
@@ -218,7 +252,7 @@ def run_latency_curve(name, batches, iters, repeats):
         # difference clears the tunnel's ~+-3 ms run-to-run jitter (at
         # batch 256 a sub-ms tick x 4 ticks is pure noise otherwise).
         it = min(60, max(iters, iters * max(1, 1024 // max(b_eff, 1))))
-        per_tick, t_1, t_n, noisy, usable, _ = measure(exe, scb, carry0, it, repeats)
+        per_tick, t_1, t_n, noisy, usable, _i, _t, _p = measure(exe, scb, carry0, it, repeats)
         curve.append(
             {
                 "batch": b_eff,

@@ -26,7 +26,7 @@ import subprocess
 import sys
 
 
-def run_point(n_devices, global_batch, ticks, config, people):
+def run_point(n_devices, global_batch, ticks, config, people, repeats=3):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     flags = [
@@ -52,9 +52,20 @@ def run_point(n_devices, global_batch, ticks, config, people):
             raise RuntimeError(out.stderr[-2000:])
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    short = campaign(2)
-    long = campaign(2 + ticks)
-    per_tick = (long["elapsed_s"] - short["elapsed_s"]) / ticks
+    # Min-of-R short/long pairs (VERDICT r4 item 8): a single pair is at the
+    # mercy of host scheduling jitter on the shared cores — the r04 curve's
+    # 8-device point read a nonsensical 1.175 efficiency purely because the
+    # 1-device baseline caught a slow run. The minimum is the least-contended
+    # estimate of the true per-tick cost on every point, baseline included.
+    per_tick = None
+    long = None
+    for _ in range(repeats):
+        short_r = campaign(2)
+        long_r = campaign(2 + ticks)
+        pt = (long_r["elapsed_s"] - short_r["elapsed_s"]) / ticks
+        if per_tick is None or pt < per_tick:
+            per_tick = pt
+            long = long_r
     total = long["global_batch"] / per_tick
     return {
         "devices": n_devices,
@@ -63,6 +74,7 @@ def run_point(n_devices, global_batch, ticks, config, people):
         "total_solves_per_s": round(total, 1),
         "per_device_solves_per_s": round(total / n_devices, 1),
         "usable_frac": long["n_usable"] / max(long["n_scenarios"], 1),
+        "repeats": repeats,
     }
 
 
@@ -73,12 +85,15 @@ def main():
     ap.add_argument("--ticks", type=int, default=10)
     ap.add_argument("--config", default="social")
     ap.add_argument("--people", type=int, default=3)
-    ap.add_argument("--json", default="WEAK_SCALING_r04.json")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="min-of-R short/long pairs per point")
+    ap.add_argument("--json", default="WEAK_SCALING_r05.json")
     args = ap.parse_args()
 
     rows = []
     for n in (int(x) for x in args.devices.split(",")):
-        r = run_point(n, args.global_batch, args.ticks, args.config, args.people)
+        r = run_point(n, args.global_batch, args.ticks, args.config, args.people,
+                      repeats=args.repeats)
         rows.append(r)
         print(json.dumps(r), file=sys.stderr)
 
@@ -88,7 +103,9 @@ def main():
     out = {
         "protocol": "fixed GLOBAL batch split across N virtual devices on fixed "
         "physical cores; constant tick time == zero sharding overhead "
-        "(includes virtual-device thread contention: an upper bound)",
+        "(includes virtual-device thread contention: an upper bound); "
+        "min-of-R pairs per point so scheduler jitter cannot fake "
+        "superlinear efficiency",
         "global_batch": args.global_batch,
         "config": args.config,
         "points": rows,
