@@ -269,10 +269,10 @@ def run_latency_curve(name, batches, iters, repeats):
 def main():
     ap = argparse.ArgumentParser()
     # 1024 is the measured throughput sweet spot: per-solve cost grows with
-    # batch once the iteration working set leaves VMEM (14.5 us at 1024 vs
-    # 18.0 at 2048 / 20.6 at 4096 on v5e), and every config's tick fits the
-    # 50 ms / 20 Hz budget with >2x headroom. 2048 is the largest batch
-    # still inside the budget (see the latency curve).
+    # batch once the iteration working set leaves VMEM, and every config's
+    # tick fits the 50 ms / 20 Hz budget with >5x headroom. 4096 is the
+    # largest curve point still inside the budget (BENCH_r04/r05
+    # max_batch_within_50ms_20hz; see the latency curve).
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(

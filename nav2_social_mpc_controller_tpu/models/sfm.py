@@ -509,7 +509,21 @@ def project_people(
     reference citations. Dispatches through a custom_vmap op so the batched
     f32 TPU path can run the whole projection scan as one Pallas kernel
     (models/sfm_pallas.py) while every other execution mode keeps the
-    reference lax.scan unchanged."""
+    reference lax.scan unchanged.
+
+    The opportunistic window-exactness check must run HERE, where a
+    host-side caller's resolution is still concrete — inside the custom_vmap
+    trace it is abstract and the warn-and-fall-back contract
+    (_esdf_window_exact) could never fire."""
+    if esdf_window > 0 and not _esdf_window_exact(
+        esdf_window, esdf_resolution, people_desired_vel, dt, robot_traj.shape[-2]
+    ):
+        return _project_people_impl(
+            init_people, robot_traj, robot_traj_n, esdf_distances, esdf_indexes,
+            esdf_origin, esdf_resolution, esdf_valid, maxtime, dt, params,
+            people_desired_vel, people_radius, robot_desired_vel, robot_radius,
+            goal_radius, esdf_window=0,
+        )
     op = _project_people_op(
         float(maxtime), float(dt), params, float(people_desired_vel),
         float(people_radius), float(robot_desired_vel), float(robot_radius),

@@ -134,6 +134,10 @@ void fill_one(uint64_t seed, int path_kind, int n_path_points,
       }
     }
   }
+  // Round to integer cost values (np.rint semantics: nearest, ties to even)
+  // -- nav2's Costmap2D stores unsigned char cost, and the bicubic kernel's
+  // split3 dot requires bf16-exact (integer) grids; mirrors make_costmap.
+  for (size_t i = 0; i < (size_t)h * w; ++i) costmap[i] = std::nearbyintf(costmap[i]);
   // Obstacle CELLS for the ESDF: the blob centers (matching make_scenario's
   // obs_cells convention).
   int obs_x[2], obs_y[2];

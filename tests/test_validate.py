@@ -175,9 +175,14 @@ def test_window_validator_cache_holds_references():
     check(scb)
     # The cache keeps the arrays alive: their refcount includes the cache.
     cache = check.__closure__[0].cell_contents
-    key = (id(scb.costmap.resolution), id(scb.esdf.resolution))
+    key = (
+        id(scb.costmap.resolution),
+        id(scb.esdf.resolution),
+        id(scb.costmap.data),
+    )
     assert cache[key][0] is scb.costmap.resolution
     assert cache[key][1] is scb.esdf.resolution
+    assert cache[key][2] is scb.costmap.data
     # A DIFFERENT (bad) batch still validates and raises.
     cfg_bad = _with_windows(cfg, obstacle=16)
     check_bad = make_window_validator(cfg_bad)
