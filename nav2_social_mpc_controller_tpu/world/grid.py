@@ -276,10 +276,16 @@ def crop_grid_window(data: jnp.ndarray, origin: jnp.ndarray, resolution, center_
     cols_sel = (start_col + iwin[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(
         data.dtype
     )  # (window, W)
-    # Precision.HIGHEST: the default TPU matmul truncates f32 operands to
-    # bf16, which would break the crop's bit-exactness for non-integer cost
-    # values; one-hot selection must be a pure copy.
-    hi = jax.lax.Precision.HIGHEST
+    # One-hot selection must be a pure copy. Selector weights (0/1) are
+    # bf16-exact; when the costmap is validated bf16-exact too (the split3
+    # production mode — u8 integer cost values, check_costmap_bf16_exact),
+    # the DEFAULT TPU matmul (bf16 operands, f32 accumulate) is ALSO a pure
+    # copy at a third of HIGHEST's MXU passes (measured ~0.2 ms/tick at
+    # B=1024). Float-valued grids (SOCIAL_MPC_BICUBIC_DOT=highest) keep
+    # HIGHEST so the crop stays bit-exact for them.
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import resolve_dot_mode
+
+    hi = None if resolve_dot_mode() == "split3" else jax.lax.Precision.HIGHEST
     win_rows = jnp.matmul(rows_sel, data, precision=hi)  # (window, W) — MXU
     win = jnp.einsum("cw,rw->rc", cols_sel, win_rows, precision=hi)  # no transpose op
     shift = jnp.stack([start_col, start_row]).astype(origin.dtype) * resolution
@@ -366,13 +372,21 @@ def crop_esdf_obstacle_window(indexes, centers_xy, origin, resolution, window: i
         start_col[:, None, None] + iwin[None, :, None] == jnp.arange(w, dtype=jnp.int32)
     ).astype(jnp.float32)  # (N, window, W)
 
-    # Flat indices fit f32 exactly for h*w < 2^24; one-hot dots are copies.
-    idxf = jnp.clip(indexes, 0, h * w - 1).astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
-    win_rows = jnp.einsum("krh,hw->krw", rows_sel, idxf, precision=hi)  # (N, window, W)
-    win = jnp.einsum("kcw,krw->krc", cols_sel, win_rows, precision=hi)  # (N, window, window)
-
-    idx_i = win.astype(jnp.int32).reshape(win.shape[0], -1)  # (N, window^2)
+    # One-hot dots are copies. The window path requires h, w <= 256 (u8
+    # cell coords), so flat indices are < 2^16: splitting each index into
+    # its two BYTES makes both operand planes bf16-exact (integers <= 255),
+    # and the 0/1 selectors are bf16-exact too — so DEFAULT-precision TPU
+    # matmuls (bf16 operands, f32 accumulate) select EXACTLY at a third of
+    # HIGHEST's MXU passes (same trick as the split3 bicubic dot; measured
+    # ~0.2 ms/tick at B=1024 across both byte planes).
+    idx_c = jnp.clip(indexes, 0, h * w - 1)
+    parts = []
+    for plane in ((idx_c >> 8).astype(jnp.float32), (idx_c & 0xFF).astype(jnp.float32)):
+        win_rows = jnp.einsum("krh,hw->krw", rows_sel, plane)  # (N, window, W)
+        parts.append(jnp.einsum("kcw,krw->krc", cols_sel, win_rows))
+    idx_i = (
+        parts[0].astype(jnp.int32) * 256 + parts[1].astype(jnp.int32)
+    ).reshape(parts[0].shape[0], -1)  # (N, window^2)
     oy = idx_i // w
     ox = idx_i % w
     # ONE packed u16 plane (ox | oy << 8) instead of two u8 planes: the
