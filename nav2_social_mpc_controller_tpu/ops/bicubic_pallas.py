@@ -233,9 +233,16 @@ def bicubic_linearize_pallas_packed(win, rowf, colf, use_bf16=False, interpret=F
     measured SLOWER: the dot discards 3 in 4 MACs). Same semantics as
     bicubic_linearize_pallas.
 
-    win: (B, H, W) f32; rowf/colf: (B, S) f32. Returns (val, d_row, d_col).
+    win: (B, H, W) f32 — or bf16 when the window values are bf16-exact
+    (u8-valued costmaps; the fused pipeline ships the per-tick crop as bf16
+    to halve the per-iteration HBM window read). rowf/colf: (B, S) f32.
+    Returns (val, d_row, d_col) in rowf.dtype.
     """
     dot_mode = "bf16" if use_bf16 else resolve_dot_mode(dot_mode)
+    if win.dtype == jnp.bfloat16 and dot_mode != "split3":
+        # Only split3 keeps full f32 stencil weights with a bf16 window
+        # operand; 'highest'/'bf16' would truncate the WEIGHTS too.
+        win = win.astype(jnp.float32)
     b, h, w = win.shape
     s = rowf.shape[1]
     s_pad = max(32, -(-s // 32) * 32)  # lane half-segment
@@ -309,6 +316,10 @@ def bicubic_linearize_pallas(win, rowf, colf, use_bf16=False, interpret=False):
     win: (B, H, W) f32; rowf/colf: (B, S) f32.
     Returns (val, d_row, d_col), each (B, S) f32.
     """
+    if win.dtype == jnp.bfloat16 and not use_bf16:
+        # This variant has no split3 dot: a bf16 window (exact by contract)
+        # must be upcast so the f32 HIGHEST dot keeps full-precision weights.
+        win = win.astype(jnp.float32)
     b, h, w = win.shape
     s = rowf.shape[1]
     s_pad = -(-s // 128) * 128  # samples live on lanes inside the kernel

@@ -566,6 +566,22 @@ def _fused_batched(cfg, dims, u, rows, n_rows, proj, present, cmd, cmo, cmr,
     else:
         win, win_origin = cmd, cmo
 
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import resolve_dot_mode
+
+    if (
+        win.dtype == jnp.float32
+        and resolve_dot_mode() == "split3"
+        and jax.default_backend() == "tpu"
+    ):
+        # The window values are u8-valued and therefore bf16-EXACT (the same
+        # precondition split3 already validates at the host boundary —
+        # core/validate.check_costmap_bf16_exact). Storing the per-tick crop
+        # as bf16 halves the packed bicubic kernel's HBM window read, the
+        # single largest per-LM-iteration traffic item (16.8 -> 8.4 MB at
+        # B=1024, window 64^2); split3 consumes bf16 windows with identical
+        # f32-exact results (only the stencil side carries fractional bits).
+        win = win.astype(jnp.bfloat16)
+
     # ---- (S, B)-major prep. Everything above is u-INDEPENDENT (XLA hoists
     # it out of the LM while-loop); from here the work runs per iteration.
     # Rollout + sensitivities in transposed layout: the cumsums run along

@@ -174,7 +174,10 @@ def _bicubic_linearize_vmap_rule(axis_size, in_batched, grid, rowf, colf):
         and r_b
         and c_b
         and grid.ndim == 3  # no nested batching
-        and grid.dtype == jnp.float32
+        # bf16 grids are the split3 fast path: u8-valued costmap windows are
+        # bf16-EXACT, so the fused pipeline stores the per-tick crop as bf16
+        # to halve the packed kernel's per-iteration HBM window read.
+        and grid.dtype in (jnp.float32, jnp.bfloat16)
         and rowf.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     )
@@ -187,6 +190,10 @@ def _bicubic_linearize_vmap_rule(axis_size, in_batched, grid, rowf, colf):
         )
 
         return bicubic_linearize_pallas_packed(grid, rowf, colf), out_batched
+    if grid.dtype == jnp.bfloat16:
+        # XLA fallback (CPU tests / interpret mode): the bf16 window values
+        # are exact by contract, so the f32 upcast restores identical math.
+        grid = grid.astype(jnp.float32)
     gv = grid if g_b else jnp.broadcast_to(grid, (axis_size,) + grid.shape)
     rv = rowf if r_b else jnp.broadcast_to(rowf, (axis_size,) + rowf.shape)
     cv = colf if c_b else jnp.broadcast_to(colf, (axis_size,) + colf.shape)

@@ -195,6 +195,58 @@ def test_packed_kernel_split3_exact_on_integer_grids():
         np.testing.assert_allclose(np.asarray(dc3), np.asarray(dch), rtol=1e-6, atol=2e-4)
 
 
+def test_packed_kernel_bf16_window_bitwise_matches_f32_split3():
+    """A bf16-stored window (exact by the split3 u8 contract; shipped by the
+    fused pipeline to halve per-iteration HBM reads) must produce BITWISE
+    the same split3 results as the f32-stored window — the kernel's first
+    act on an f32 window is the same bf16 cast. Non-split3 modes must
+    upcast and match the f32 HIGHEST path."""
+    from nav2_social_mpc_controller_tpu.ops.bicubic_pallas import (
+        bicubic_linearize_pallas,
+        bicubic_linearize_pallas_packed,
+    )
+
+    rng = np.random.default_rng(21)
+    grid, rowf, colf = _random_case(rng, b=6, s=29, h=48, w=48, margin=4.0)
+    grid_bf = grid.astype(jnp.bfloat16)
+    assert np.array_equal(np.asarray(grid_bf, np.float32), np.asarray(grid))
+
+    vf, drf, dcf = bicubic_linearize_pallas_packed(
+        grid, rowf, colf, dot_mode="split3", interpret=True
+    )
+    vb, drb, dcb = bicubic_linearize_pallas_packed(
+        grid_bf, rowf, colf, dot_mode="split3", interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vf))
+    np.testing.assert_array_equal(np.asarray(drb), np.asarray(drf))
+    np.testing.assert_array_equal(np.asarray(dcb), np.asarray(dcf))
+
+    # Non-split3 packed mode upcasts rather than truncating the weights.
+    vh, _, _ = bicubic_linearize_pallas_packed(
+        grid, rowf, colf, dot_mode="highest", interpret=True
+    )
+    vbh, _, _ = bicubic_linearize_pallas_packed(
+        grid_bf, rowf, colf, dot_mode="highest", interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(vbh), np.asarray(vh))
+
+    # Per-scenario (long-S fallback) variant: bf16 input upcasts too.
+    vp, _, _ = bicubic_linearize_pallas(grid, rowf, colf, use_bf16=False, interpret=True)
+    vpb, _, _ = bicubic_linearize_pallas(grid_bf, rowf, colf, use_bf16=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(vpb), np.asarray(vp))
+
+
+def test_custom_vmap_bf16_grid_cpu_fallback_exact():
+    """On CPU the custom_vmap rule upcasts a bf16-exact grid and takes the
+    XLA stencil path — identical results to the f32 grid."""
+    rng = np.random.default_rng(22)
+    grid, rowf, colf = _random_case(rng, b=3, s=12, h=32, w=32)
+    out_f = jax.vmap(bicubic_linearize)(grid, rowf, colf)
+    out_b = jax.vmap(bicubic_linearize)(grid.astype(jnp.bfloat16), rowf, colf)
+    for a, b_ in zip(out_f, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_split3_precondition_validated_at_host_boundary():
     """A float-valued costmap must fail loudly before it can silently lose
     ~1.5e-5 relative in the split3 dot (core/validate.check_costmap_bf16_exact);

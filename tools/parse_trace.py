@@ -39,6 +39,14 @@ def main():
     ap.add_argument("root")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--raw", action="store_true", help="don't strip numeric suffixes")
+    ap.add_argument(
+        "--self",
+        dest="self_time",
+        action="store_true",
+        help="nest-aware SELF time: per device track, subtract each event's "
+        "enclosed children so containers (while/body/vmap wrappers) stop "
+        "double-counting their contents",
+    )
     args = ap.parse_args()
 
     path = find_trace(args.root)
@@ -59,16 +67,55 @@ def main():
     tot = collections.Counter()
     cnt = collections.Counter()
     wall = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        name = e.get("name", "?")
-        if not args.raw:
-            name = base_name(name)
-        dur = e.get("dur", 0)
-        tot[name] += dur
-        cnt[name] += 1
-        wall += dur
+    if args.self_time:
+        # Group complete events per (pid, tid) track; a chrome trace nests
+        # strictly within a track, so sorting by (start asc, dur desc) and
+        # keeping an enclosing-interval stack yields each event's direct
+        # parent. Self time = dur - sum(direct children durs).
+        tracks = collections.defaultdict(list)
+        for e in events:
+            if e.get("ph") != "X" or e.get("pid") not in device_pids:
+                continue
+            tracks[(e["pid"], e.get("tid"))].append(e)
+        for evs in tracks.values():
+            evs.sort(key=lambda e: (e.get("ts", 0), -e.get("dur", 0)))
+            stack = []  # (end_ts, event, child_total)
+            for e in evs:
+                ts, dur = e.get("ts", 0), e.get("dur", 0)
+                while stack and ts >= stack[-1][0] - 1e-9:
+                    end, ev, child = stack.pop()
+                    name = ev.get("name", "?")
+                    if not args.raw:
+                        name = base_name(name)
+                    self_us = max(ev.get("dur", 0) - child, 0)
+                    tot[name] += self_us
+                    cnt[name] += 1
+                    wall += self_us
+                    if stack:
+                        stack[-1][2] += ev.get("dur", 0)
+                stack.append([ts + dur, e, 0.0])
+            while stack:
+                end, ev, child = stack.pop()
+                name = ev.get("name", "?")
+                if not args.raw:
+                    name = base_name(name)
+                self_us = max(ev.get("dur", 0) - child, 0)
+                tot[name] += self_us
+                cnt[name] += 1
+                wall += self_us
+                if stack:
+                    stack[-1][2] += ev.get("dur", 0)
+    else:
+        for e in events:
+            if e.get("ph") != "X" or e.get("pid") not in device_pids:
+                continue
+            name = e.get("name", "?")
+            if not args.raw:
+                name = base_name(name)
+            dur = e.get("dur", 0)
+            tot[name] += dur
+            cnt[name] += 1
+            wall += dur
 
     print(f"{'total_ms':>10} {'%':>6} {'count':>8}  op")
     for name, t in tot.most_common(args.top):
