@@ -45,8 +45,9 @@ def run_point(n_devices, global_batch, ticks, config, people, repeats=3):
             "--force-cpu", "--config", config, "--ticks", str(t),
             "--per-device-batch", str(per_device_batch), "--people", str(people),
         ]
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=1200, cwd="/root/repo"
+            cmd, env=env, capture_output=True, text=True, timeout=1200, cwd=repo_root
         )
         if out.returncode != 0:
             raise RuntimeError(out.stderr[-2000:])
