@@ -584,54 +584,98 @@ def _fused_batched(cfg, dims, u, rows, n_rows, proj, present, cmd, cmo, cmr,
 
     # ---- (S, B)-major prep. Everything above is u-INDEPENDENT (XLA hoists
     # it out of the LM while-loop); from here the work runs per iteration.
-    # Rollout + sensitivities in transposed layout: the cumsums run along
-    # the middle axis of (K, S, B) stacks, so no per-iteration transposes
-    # exist anywhere (rollout_with_sensitivities documents the math).
     eb_t = jnp.transpose(
         (block_idx[:, :, None] == jnp.arange(nb)[None, None, :]), (2, 1, 0)
     ).astype(dtype)  # (NB, S, B) — u-independent, hoisted
-    u_blocks = u.reshape(b, nb, 2)
-    uv = jnp.transpose(u_blocks[:, :, 0])  # (NB, B)
-    uw = jnp.transpose(u_blocks[:, :, 1])
-    v_t = jnp.sum(jnp.where(eb_t > 0, uv[:, None, :], 0.0), axis=0)  # (S, B)
-    w_t = jnp.sum(jnp.where(eb_t > 0, uw[:, None, :], 0.0), axis=0)
 
-    th0 = pose0[:, 2][None, :]  # (1, B)
-    r1 = jnp.concatenate([w_t[None], eb_t], axis=0)  # (1+NB, S, B)
-    c1 = dt * jnp.cumsum(r1, axis=1)
-    th = th0 + c1[0]  # (S, B)
-    dth = c1[1:]  # (NB, S, B)
-    th_prev = jnp.concatenate([jnp.broadcast_to(th0, (1, b)), th[:-1]], axis=0)
-    dth_prev = jnp.concatenate([jnp.zeros((nb, 1, b), dtype), dth[:, :-1]], axis=1)
+    dp = _round_up(max(d, 1), 8)
+    u_t8 = jnp.zeros((dp, b), dtype).at[:d].set(u.T)
 
-    cosp = jnp.cos(th_prev)
-    sinp = jnp.sin(th_prev)
-    r2 = jnp.concatenate(
-        [
-            (v_t * cosp)[None],
-            (v_t * sinp)[None],
-            eb_t * cosp[None],
-            eb_t * sinp[None],
-            (-v_t * sinp)[None] * dth_prev,
-            (v_t * cosp)[None] * dth_prev,
-        ],
-        axis=0,
-    )  # (2 + 4NB, S, B)
-    c2 = dt * jnp.cumsum(r2, axis=1)
-    px = pose0[:, 0][None, :] + c2[0]
-    py = pose0[:, 1][None, :] + c2[1]
-    dxdv = c2[2 : 2 + nb]
-    dydv = c2[2 + nb : 2 + 2 * nb]
-    dxdw = c2[2 + 2 * nb : 2 + 3 * nb]
-    dydw = c2[2 + 3 * nb : 2 + 4 * nb]
-    pth = th
+    import os
+
+    # MEASURED-NEUTRAL experiment, default OFF (docs/performance.md round-5
+    # prep-kernel note): folding this prep into one Pallas kernel costs
+    # 8.7 us/iter of kernel time but only displaces 5.7 us of XLA fusions —
+    # XLA already fuses the cumsum/trig prep close to its floor, and the
+    # kernel's sequential-MXU prefix sums shift the f32 summation
+    # association (legitimate, but it perturbs captured parity artifacts
+    # for zero wall-clock gain). SOCIAL_MPC_PREP_KERNEL=1 opts in.
+    use_prep_kernel = bool(os.environ.get("SOCIAL_MPC_PREP_KERNEL")) and (
+        interpret or jax.default_backend() == "tpu"
+    )
+    if use_prep_kernel:
+        # One Pallas kernel for the whole u-dependent prep (rollout +
+        # sensitivities + bicubic coords): replaces ~19 per-iteration XLA
+        # micro-fusions with one dispatch (ops/rollout_pallas.py).
+        from nav2_social_mpc_controller_tpu.ops.rollout_pallas import (
+            rollout_prep_pallas,
+        )
+
+        sc8 = (
+            jnp.zeros((8, b), dtype)
+            .at[0].set(pose0[:, 0])
+            .at[1].set(pose0[:, 1])
+            .at[2].set(pose0[:, 2])
+            .at[3].set(win_origin[:, 0])
+            .at[4].set(win_origin[:, 1])
+            .at[5].set(cmr)
+        )  # u-independent, hoisted
+        (px, py, pth, v_t, dxdv, dydv, dxdw, dydw, dth, row, col) = (
+            rollout_prep_pallas(
+                u_t8, eb_t, sc8, s, nb, dt, critics.FRONT_OFFSET,
+                interpret=interpret,
+            )
+        )
+    else:
+        # XLA formulation: rollout + sensitivities in transposed layout;
+        # the cumsums run along the middle axis of (K, S, B) stacks, so no
+        # per-iteration transposes exist anywhere
+        # (rollout_with_sensitivities documents the math).
+        u_blocks = u.reshape(b, nb, 2)
+        uv = jnp.transpose(u_blocks[:, :, 0])  # (NB, B)
+        uw = jnp.transpose(u_blocks[:, :, 1])
+        v_t = jnp.sum(jnp.where(eb_t > 0, uv[:, None, :], 0.0), axis=0)  # (S, B)
+        w_t = jnp.sum(jnp.where(eb_t > 0, uw[:, None, :], 0.0), axis=0)
+
+        th0 = pose0[:, 2][None, :]  # (1, B)
+        r1 = jnp.concatenate([w_t[None], eb_t], axis=0)  # (1+NB, S, B)
+        c1 = dt * jnp.cumsum(r1, axis=1)
+        th = th0 + c1[0]  # (S, B)
+        dth = c1[1:]  # (NB, S, B)
+        th_prev = jnp.concatenate([jnp.broadcast_to(th0, (1, b)), th[:-1]], axis=0)
+        dth_prev = jnp.concatenate(
+            [jnp.zeros((nb, 1, b), dtype), dth[:, :-1]], axis=1
+        )
+
+        cosp = jnp.cos(th_prev)
+        sinp = jnp.sin(th_prev)
+        r2 = jnp.concatenate(
+            [
+                (v_t * cosp)[None],
+                (v_t * sinp)[None],
+                eb_t * cosp[None],
+                eb_t * sinp[None],
+                (-v_t * sinp)[None] * dth_prev,
+                (v_t * cosp)[None] * dth_prev,
+            ],
+            axis=0,
+        )  # (2 + 4NB, S, B)
+        c2 = dt * jnp.cumsum(r2, axis=1)
+        px = pose0[:, 0][None, :] + c2[0]
+        py = pose0[:, 1][None, :] + c2[1]
+        dxdv = c2[2 : 2 + nb]
+        dydv = c2[2 + nb : 2 + 2 * nb]
+        dxdw = c2[2 + 2 * nb : 2 + 3 * nb]
+        dydw = c2[2 + 3 * nb : 2 + 4 * nb]
+        pth = th
+
+        fxp = px + critics.FRONT_OFFSET * jnp.cos(pth)
+        fyp = py + critics.FRONT_OFFSET * jnp.sin(pth)
+        col = (fxp - win_origin[:, 0][None, :]) / cmr[None, :]
+        row = (fyp - win_origin[:, 1][None, :]) / cmr[None, :]
 
     # Bicubic value + derivatives at the rollout front points (the packed
     # kernel is (B, S)-major: two transposes in, three out, per iteration).
-    fxp = px + critics.FRONT_OFFSET * jnp.cos(pth)
-    fyp = py + critics.FRONT_OFFSET * jnp.sin(pth)
-    col = (fxp - win_origin[:, 0][None, :]) / cmr[None, :]
-    row = (fyp - win_origin[:, 1][None, :]) / cmr[None, :]
     val, drow, dcol = jax.vmap(bicubic_linearize)(win, row.T, col.T)
     val, drow, dcol = val.T, drow.T, dcol.T
 
@@ -645,9 +689,6 @@ def _fused_batched(cfg, dims, u, rows, n_rows, proj, present, cmd, cmo, cmr,
         vf_step[:, None] < n_vel[None, :]
     )
     vfm8 = jnp.zeros((8, b), dtype).at[: dims.n_vf].set(vfm.astype(dtype))
-
-    dp = _round_up(max(d, 1), 8)
-    u_t8 = jnp.zeros((dp, b), dtype).at[:d].set(u.T)
 
     statics = (d, nb, dims.n_vf, n, w, opt.desired_linear_vel, critics.FRONT_OFFSET)
     return fused_cost_g_jtj(
