@@ -26,18 +26,31 @@ import subprocess
 import sys
 
 
-def run_point(n_devices, global_batch, ticks, config, people, repeats=3):
+def run_point(n_devices, global_batch, ticks, config, people, repeats=3,
+              control=False):
+    """One curve point. control=True measures the SHAPE-IDENTICAL control:
+    the same per-device program (batch global_batch/n_devices) on a 1-device
+    mesh — n_devices of those back-to-back is the zero-overhead reference
+    for the meshed run, cancelling XLA:CPU's batch-shape-dependent
+    vectorization (the r04/r05 confound: a 256-wide program is up to ~30%
+    faster PER SCENARIO than a 512-wide one on this host, which made raw
+    efficiency-vs-1dev read superlinear at some N and sub-linear at
+    others)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    mesh_devices = 1 if control else n_devices
     flags = [
         f
         for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f
     ]
-    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    flags.append(f"--xla_force_host_platform_device_count={mesh_devices}")
     env["XLA_FLAGS"] = " ".join(flags)
 
     per_device_batch = global_batch // n_devices
+    # The control runs n_devices x the ticks so total WORK matches the
+    # meshed run tick-for-tick (sequential execution of the same shards).
+    tick_scale = n_devices if control else 1
 
     def campaign(t):
         cmd = [
@@ -61,12 +74,16 @@ def run_point(n_devices, global_batch, ticks, config, people, repeats=3):
     per_tick = None
     long = None
     for _ in range(repeats):
-        short_r = campaign(2)
-        long_r = campaign(2 + ticks)
-        pt = (long_r["elapsed_s"] - short_r["elapsed_s"]) / ticks
+        short_r = campaign(2 * tick_scale)
+        long_r = campaign((2 + ticks) * tick_scale)
+        pt = (long_r["elapsed_s"] - short_r["elapsed_s"]) / (ticks * tick_scale)
         if per_tick is None or pt < per_tick:
             per_tick = pt
             long = long_r
+    if control:
+        # Equal-work normalization: n_devices sequential shard ticks == one
+        # meshed tick.
+        return {"seq_equal_work_tick_s": round(per_tick * n_devices, 4)}
     total = long["global_batch"] / per_tick
     return {
         "devices": n_devices,
@@ -95,6 +112,16 @@ def main():
     for n in (int(x) for x in args.devices.split(",")):
         r = run_point(n, args.global_batch, args.ticks, args.config, args.people,
                       repeats=args.repeats)
+        if n > 1:
+            c = run_point(n, args.global_batch, args.ticks, args.config,
+                          args.people, repeats=args.repeats, control=True)
+            r.update(c)
+            r["efficiency_shape_controlled"] = round(
+                r["seq_equal_work_tick_s"] / r["per_tick_s"], 3
+            )
+        else:
+            r["seq_equal_work_tick_s"] = r["per_tick_s"]
+            r["efficiency_shape_controlled"] = 1.0
         rows.append(r)
         print(json.dumps(r), file=sys.stderr)
 
@@ -103,10 +130,13 @@ def main():
         r["efficiency_vs_1dev"] = round(r["total_solves_per_s"] / base, 3)
     out = {
         "protocol": "fixed GLOBAL batch split across N virtual devices on fixed "
-        "physical cores; constant tick time == zero sharding overhead "
-        "(includes virtual-device thread contention: an upper bound); "
-        "min-of-R pairs per point so scheduler jitter cannot fake "
-        "superlinear efficiency",
+        "physical cores. efficiency_shape_controlled divides each meshed "
+        "tick by its SHAPE-IDENTICAL sequential control (the same "
+        "per-device program on a 1-device mesh, N x the ticks): XLA:CPU's "
+        "batch-shape-dependent vectorization (up to ~30%/program on this "
+        "host) cancels exactly, so the ratio isolates mesh/shard_map/psum "
+        "overhead. efficiency_vs_1dev (raw, shape-confounded) is kept for "
+        "comparison with the r04 artifact. min-of-R pairs per point.",
         "global_batch": args.global_batch,
         "config": args.config,
         "points": rows,
